@@ -1,0 +1,240 @@
+"""Typed configuration for the TPU-native heartbeat analyzer.
+
+Mirrors the seven commented sections of the reference's flat parameter dict
+(``/root/reference/config.py:3-108``) as frozen dataclasses so a config is
+hashable and can be passed to ``jax.jit`` as a static argument: every tunable
+becomes a compile-time constant inside the traced pipeline, which is what lets
+XLA fold the confidence curves and thresholds straight into the kernels.
+
+The reference has several config/code drifts (keys read via ``.get`` with
+defaults that disagree with config values, keys that are never read, and one
+mechanism that is dead code).  Those are catalogued in SURVEY.md §2 and are
+reproduced here *as the code behaves*, with the documented-but-unimplemented
+behavior gated behind :class:`CompatConfig` flags:
+
+* ``rr_correction_threshold_pct``: config says 0.40 but stage-4
+  ``correct_peaks_by_rhythm`` reads it with default 0.6
+  (``bpm_analysis.py:1273``) — and 0.40 *is* present in the dict, so 0.40
+  wins at runtime.  We keep 0.40.
+* ``cascade_reset_trigger_count`` (=3) and ``enable_interval_penalty``
+  (=True) are read by the code but absent from the reference config; they are
+  first-class fields here.
+* the kick-start override (``bpm_analysis.py:168``) writes a state key that is
+  never read; ``CompatConfig.kickstart_effective`` enables the documented
+  behavior (README.md:9) instead of the as-implemented no-op.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Section 1 — general & preprocessing (reference config.py:4-9)."""
+
+    downsample_factor: int = 300
+    save_filtered_wav: bool = True
+    # Hardcoded in the reference (bpm_analysis.py:1018): band-pass corner
+    # frequencies in Hz and filter order.
+    bandpass_low_hz: float = 20.0
+    bandpass_high_hz: float = 150.0
+    bandpass_order: int = 2
+    # Envelope rolling-mean window = sample_rate // envelope_window_divisor
+    # (bpm_analysis.py:1053).
+    envelope_window_divisor: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Section 2 — signal feature detection (reference config.py:11-17)."""
+
+    min_peak_distance_sec: float = 0.05
+    peak_prominence_quantile: float = 0.1
+    trough_prominence_quantile: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    """Section 3 — noise estimation & rejection (reference config.py:19-32).
+
+    The 3.2 "peak noise vetoing" keys of the reference config are vestigial
+    (never read by v4.3 code; SURVEY.md §2.2) and intentionally omitted.
+    """
+
+    noise_floor_quantile: float = 0.20
+    noise_window_sec: float = 10.0
+    trough_rejection_multiplier: float = 4.0
+    # Fallback quantile when the final floor is all-NaN (hardcoded 0.1 at
+    # bpm_analysis.py:1114).
+    all_nan_fallback_quantile: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class PairingConfig:
+    """Section 4 — S1/S2 pairing & confidence engine (config.py:34-68)."""
+
+    pairing_confidence_threshold: float = 0.50
+    s1_s2_interval_cap_sec: float = 0.4
+    s1_s2_interval_rr_fraction: float = 0.7
+    deviation_smoothing_factor: float = 0.05
+    stability_history_window: int = 20
+    stability_confidence_floor: float = 0.60
+    stability_confidence_ceiling: float = 1.25
+    s1_s2_boost_ratio: float = 1.2
+    boost_amount_min: float = 0.10
+    boost_amount_max: float = 0.35
+    penalty_amount_min: float = 0.10
+    penalty_amount_max: float = 0.30
+    s2_s1_ratio_low_bpm: float = 1.5
+    s2_s1_ratio_high_bpm: float = 1.1
+    contractility_bpm_low: float = 120.0
+    contractility_bpm_high: float = 140.0
+    recovery_phase_duration_sec: float = 120.0
+    # 4.4 interval penalty (read via .get with these defaults,
+    # bpm_analysis.py:250-253; enable flag absent from reference config).
+    enable_interval_penalty: bool = True
+    interval_penalty_start_factor: float = 1.0
+    interval_penalty_full_factor: float = 1.4
+    interval_max_penalty: float = 0.75
+    # 4.5 kick-start (dead code in the reference — see CompatConfig).
+    kickstart_check_threshold: float = 0.3
+    kickstart_override_ratio: float = 0.60
+    # Hardcoded anchors of the blended confidence model
+    # (bpm_analysis.py:1128-1132).
+    deviation_points: Tuple[float, ...] = (0.0, 0.25, 0.40, 0.80, 1.0)
+    curve_low: Tuple[float, ...] = (0.9, 0.9, 0.7, 0.1, 0.1)
+    curve_high: Tuple[float, ...] = (0.1, 0.5, 0.75, 0.65, 0.0)
+    # Hardcoded preliminary-pass threshold (bpm_analysis.py:1632).
+    preliminary_confidence_threshold: float = 0.75
+    # Hardcoded boost-saturation ratio (bpm_analysis.py:1191).
+    boost_saturation_ratio: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RhythmConfig:
+    """Section 5 — rhythm plausibility & validation (config.py:70-87)."""
+
+    min_bpm: float = 40.0
+    max_bpm: float = 240.0
+    lone_s1_forward_check_pct: float = 0.50
+    lone_s1_confidence_threshold: float = 0.50
+    lone_s1_rhythm_weight: float = 0.65
+    lone_s1_amplitude_weight: float = 0.35
+    # Read via .get, absent from reference config (bpm_analysis.py:294).
+    cascade_reset_trigger_count: int = 3
+    # Hardcoded long-term-BPM EMA constants (bpm_analysis.py:1242-1243).
+    belief_learning_rate: float = 0.05
+    belief_max_change_per_beat: float = 3.0
+    # Hardcoded lone-S1 confidence curves (bpm_analysis.py:1213-1228).
+    rhythm_dev_points: Tuple[float, ...] = (0.0, 0.15, 0.30, 0.50)
+    rhythm_conf_curve: Tuple[float, ...] = (1.0, 0.8, 0.4, 0.0)
+    amp_ratio_points: Tuple[float, ...] = (0.0, 0.4, 0.7, 1.0)
+    amp_conf_curve: Tuple[float, ...] = (0.0, 0.4, 0.8, 1.0)
+    # Hardcoded forward-check amplitude waiver (bpm_analysis.py:323).
+    forward_check_amp_waiver: float = 1.7
+    # Default belief when no hint/estimate exists (bpm_analysis.py:103,1647).
+    default_start_bpm: float = 80.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrectionConfig:
+    """Section 6 — post-processing correction pass (config.py:89-97).
+
+    ``enable_correction_pass`` exists in the reference config (False!) but is
+    never checked — the pass always runs (bpm_analysis.py:1655-1698).  Here
+    the flag is honored and defaults to True to match runtime behavior.
+    """
+
+    enable_correction_pass: bool = True
+    rr_correction_threshold_pct: float = 0.40
+    rr_correction_long_interval_pct: float = 1.70
+    penalty_waiver_strength_ratio: float = 4.0
+    penalty_waiver_max_s2_s1_ratio: float = 2.5
+    # Hardcoded stage-5 constants (bpm_analysis.py:1318,1672).
+    margin_beats: int = 3
+    max_iterations: int = 5
+    long_gap_multiplier_stage4_min_peaks: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class OutputConfig:
+    """Section 7 — output, HRV & reporting (config.py:99-108)."""
+
+    output_smoothing_window_sec: float = 5.0
+    hrv_window_size_beats: int = 40
+    hrv_step_size_beats: int = 5
+    plot_amplitude_scale_factor: float = 250.0
+    plot_downsample_factor: int = 1
+    # Hardcoded analytics constants (bpm_analysis.py:1486,1552,1597).
+    incline_min_duration_sec: float = 10.0
+    incline_min_bpm_change: float = 15.0
+    slope_window_sec: float = 20.0
+    hrr_interval_sec: float = 60.0
+    slope_peak_prominence: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CompatConfig:
+    """Bug-compatibility switches (SURVEY.md §2 quirk catalogue).
+
+    Defaults reproduce the reference *as implemented* (the golden vulpine
+    artifacts embed these quirks); flipping a flag enables the documented /
+    fixed behavior.
+    """
+
+    # Reference decimates BEFORE filtering with no anti-alias filter
+    # (bpm_analysis.py:1031-1045, contradicting README.md:6).  False = same;
+    # True = filter at native rate then decimate (the north-star path).
+    antialias_decimation: bool = False
+    # Reference kick-start writes an override that is never read
+    # (bpm_analysis.py:168).  True = actually apply the documented override.
+    kickstart_effective: bool = False
+    # Reference calculate_hrr feeds integer-truncated epoch seconds to
+    # np.interp (bpm_analysis.py:1606), making HRR depend on pandas/TZ
+    # environment.  We always use exact float seconds (there is no single
+    # reproducible "compat" value; see tests/test_analytics.py).
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU runtime knobs — new in this framework (no reference equivalent)."""
+
+    # Static capacities for padded per-recording arrays.  Sized for ~10 min
+    # recordings at ~300 Hz with dense beats; bump for longer inputs.
+    max_raw_peaks: int = 4096
+    max_troughs: int = 4096
+    max_candidates: int = 2048
+    # Compute dtype for the DSP/analytics path ("float32" on TPU;
+    # tests run "float64" on CPU for exact oracle parity).
+    dtype: str = "float32"
+    # Chunk length for the sliding-quantile kernel (outputs per block).
+    quantile_chunk: int = 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class AnalyzerConfig:
+    """Top-level config: seven reference sections + compat + runtime."""
+
+    preprocess: PreprocessConfig = PreprocessConfig()
+    features: FeatureConfig = FeatureConfig()
+    noise: NoiseConfig = NoiseConfig()
+    pairing: PairingConfig = PairingConfig()
+    rhythm: RhythmConfig = RhythmConfig()
+    correction: CorrectionConfig = CorrectionConfig()
+    output: OutputConfig = OutputConfig()
+    compat: CompatConfig = CompatConfig()
+    runtime: RuntimeConfig = RuntimeConfig()
+
+    def replace(self, **kw) -> "AnalyzerConfig":
+        return dataclasses.replace(self, **kw)
+
+    def with_pairing_threshold(self, threshold: float) -> "AnalyzerConfig":
+        """The preliminary pass re-runs the classifier with a higher pairing
+        threshold (bpm_analysis.py:1630-1632)."""
+        return self.replace(
+            pairing=dataclasses.replace(self.pairing, pairing_confidence_threshold=threshold)
+        )
+
+
+DEFAULT_CONFIG = AnalyzerConfig()

@@ -1,0 +1,245 @@
+"""scipy.signal.find_peaks semantics on TPU, shape-static and vmappable.
+
+The reference calls ``find_peaks`` in four places: raw peaks with an
+array-valued height threshold + prominence + distance (bpm_analysis.py:227),
+troughs on the negated envelope with distance + prominence (:1070), and the
+incline/decline endpoint searches on the BPM curve (:1496-1497,1529-1530).
+
+Exact scipy behaviors reproduced (verified against scipy in
+tests/test_find_peaks.py):
+
+* local maxima use strict neighbors with plateau support — a flat top emits
+  one peak at ``(left_edge + right_edge) // 2`` (scipy ``_local_maxima_1d``),
+* filter order is height → distance → prominence (scipy find_peaks applies
+  conditions in that sequence, so the distance NMS never sees peaks already
+  dropped by height, and prominences are only evaluated for NMS survivors),
+* the distance filter is a greedy highest-first suppression over peaks sorted
+  by height, ties broken toward the *later* peak (scipy iterates a stable
+  ascending argsort in reverse), with ``ceil(distance)`` spacing, strict
+  ``<`` comparison,
+* prominence of a peak is ``x[p] - max(min(x[lb..p]), min(x[p..rb]))`` where
+  lb/rb sit one past the nearest strictly-greater sample on each side
+  (``wlen=None``), falling back to the signal edges.
+
+Everything is fixed-capacity: peak positions are compacted into a
+``capacity``-length int32 array plus a count, so downstream stages stay
+shape-static under ``vmap``/``pjit``.  The distance NMS is a ``lax.scan`` of
+O(capacity) masked vector updates; prev/next-greater lookups use O(1)
+sparse-table range-max queries inside an O(log n) monotone binary search.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class Peaks(NamedTuple):
+    positions: jnp.ndarray  # (capacity,) int32; slots >= count hold n (past end)
+    count: jnp.ndarray      # () int32
+
+
+def local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
+    """Boolean mask of plateau-midpoint local maxima (scipy semantics)."""
+    n = x.shape[0]
+    idx = jnp.arange(n)
+    neq_prev = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
+    neq_next = jnp.concatenate([x[:-1] != x[1:], jnp.array([True])])
+    run_start = lax.cummax(jnp.where(neq_prev, idx, -1))
+    run_end = jnp.flip(lax.cummin(jnp.flip(jnp.where(neq_next, idx, n))))
+    rs = jnp.maximum(run_start, 0)
+    re = jnp.minimum(run_end, n - 1)
+    ok = (rs >= 1) & (re <= n - 2)
+    left_lower = x[jnp.maximum(rs - 1, 0)] < x
+    right_lower = x[jnp.minimum(re + 1, n - 1)] < x
+    midpoint = (rs + re) // 2
+    return ok & left_lower & right_lower & (idx == midpoint)
+
+
+def _compact_mask(mask: jnp.ndarray, capacity: int) -> Peaks:
+    n = mask.shape[0]
+    idx = jnp.arange(n)
+    key = jnp.where(mask, idx, n)
+    if capacity > n:
+        key = jnp.concatenate([key, jnp.full((capacity - n,), n, key.dtype)])
+    pos = jnp.sort(key)[:capacity].astype(jnp.int32)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
+    return Peaks(pos, count)
+
+
+def _sparse_table(x: jnp.ndarray, op) -> jnp.ndarray:
+    """Table T[k, i] = op-reduction of x[i : i + 2^k] (clamped at the end)."""
+    n = x.shape[0]
+    levels = max(1, (n - 1).bit_length())
+    rows = [x]
+    cur = x
+    for k in range(1, levels):
+        shift = 1 << (k - 1)
+        shifted = jnp.concatenate([cur[shift:], cur[-1:].repeat(shift)])
+        cur = op(cur, shifted)
+        rows.append(cur)
+    return jnp.stack(rows)
+
+
+def _range_query(table: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, op) -> jnp.ndarray:
+    """op-reduction over x[a..b] inclusive, a <= b, via two overlapping
+    power-of-two windows.  a/b may be traced arrays."""
+    length = b - a + 1
+    # floor(log2(length)): position of highest set bit.
+    k = (31 - lax.clz(jnp.maximum(length, 1).astype(jnp.int32))).astype(jnp.int32)
+    left = table[k, a]
+    right = table[k, jnp.maximum(b - (1 << k) + 1, 0)]
+    return op(left, right)
+
+
+def _last_above(max_table: jnp.ndarray, v: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Largest i in [0, r] with x[i] > v, or -1.  Uses the monotonicity of
+    h(i) = max(x[i..r]) (non-increasing in i): the answer is the largest i
+    with h(i) > v."""
+    n = max_table.shape[1]
+
+    def h(i):
+        return _range_query(max_table, i, r, jnp.maximum)
+
+    none = h(jnp.zeros_like(r)) <= v
+    lo = jnp.zeros_like(r)
+    hi = r
+    # Invariant: h(lo) > v (when not `none`); shrink [lo, hi] to a point.
+    steps = max(1, n.bit_length())
+    for _ in range(steps):
+        mid = (lo + hi + 1) // 2
+        go_right = h(jnp.minimum(mid, r)) > v
+        lo = jnp.where(go_right, jnp.minimum(mid, r), lo)
+        hi = jnp.where(go_right, hi, mid - 1)
+    return jnp.where(none, -1, lo)
+
+
+def _first_above(max_table: jnp.ndarray, v: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
+    """Smallest i in [l, n-1] with x[i] > v, or n."""
+    n = max_table.shape[1]
+
+    def h(i):
+        return _range_query(max_table, l, i, jnp.maximum)
+
+    none = h(jnp.full_like(l, n - 1)) <= v
+    lo = l
+    hi = jnp.full_like(l, n - 1)
+    steps = max(1, n.bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        go_left = h(jnp.maximum(mid, l)) > v
+        hi = jnp.where(go_left, jnp.maximum(mid, l), hi)
+        lo = jnp.where(go_left, lo, mid + 1)
+    return jnp.where(none, n, hi)
+
+
+def peak_prominences(
+    x: jnp.ndarray,
+    positions: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_table: Optional[jnp.ndarray] = None,
+    min_table: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Prominence of each (valid) peak position, scipy ``wlen=None``."""
+    n = x.shape[0]
+    if max_table is None:
+        max_table = _sparse_table(x, jnp.maximum)
+    if min_table is None:
+        min_table = _sparse_table(x, jnp.minimum)
+    p = jnp.clip(positions, 0, n - 1)
+    v = x[p]
+    lb = _last_above(max_table, v, p) + 1           # in [0, p]
+    rb = _first_above(max_table, v, p) - 1          # in [p, n-1]
+    left_min = _range_query(min_table, jnp.maximum(lb, 0), p, jnp.minimum)
+    right_min = _range_query(min_table, p, jnp.minimum(rb, n - 1), jnp.minimum)
+    prom = v - jnp.maximum(left_min, right_min)
+    return jnp.where(valid, prom, 0.0)
+
+
+def _select_by_distance(
+    positions: jnp.ndarray, priority: jnp.ndarray, valid: jnp.ndarray, distance
+) -> jnp.ndarray:
+    """scipy ``_select_by_peak_distance``: greedy keep-highest suppression.
+
+    ``positions`` sorted ascending over valid slots.  Returns keep mask.
+    """
+    cap = positions.shape[0]
+    dist = jnp.ceil(jnp.asarray(distance, jnp.float32))
+    neg_inf = jnp.finfo(jnp.float32).min
+    prio = jnp.where(valid, priority.astype(jnp.float32), neg_inf)
+    # scipy iterates a *stable ascending* argsort in reverse: highest priority
+    # first; among equal priorities the later (larger-index) peak first.
+    order = jnp.flip(jnp.argsort(prio, stable=True))
+    posf = positions.astype(jnp.float32)
+
+    def step(keep, j):
+        active = keep[j] & valid[j]
+        within = jnp.abs(posf - posf[j]) < dist
+        within = within & (jnp.arange(cap) != j)
+        keep = jnp.where(active, keep & ~within, keep)
+        return keep, ()
+
+    keep0 = valid
+    keep, _ = lax.scan(step, keep0, order)
+    return keep & valid
+
+
+def find_peaks(
+    x: jnp.ndarray,
+    capacity: int,
+    height: Optional[jnp.ndarray] = None,
+    prominence: Optional[jnp.ndarray] = None,
+    distance: Optional[float] = None,
+    work_capacity: Optional[int] = None,
+) -> Peaks:
+    """scipy.signal.find_peaks(x, height=height, prominence=prominence,
+    distance=distance) with fixed output capacity.
+
+    ``height`` may be a per-sample array (evaluated at peak positions, as the
+    reference's dynamic noise floor threshold, bpm_analysis.py:227) or a
+    scalar; ``prominence`` and ``distance`` are scalars (possibly traced).
+
+    ``work_capacity`` bounds the *intermediate* peak population (local maxima
+    surviving the height filter, before distance/prominence pruning) — on the
+    vulpine sample that is ~11k maxima funneling down to 1.5k raw peaks.
+    Populations beyond it are silently truncated from the tail, so size it
+    generously (default 4x capacity).
+    """
+    n = x.shape[0]
+    work_capacity = work_capacity or 4 * capacity
+    mask = local_maxima_mask(x)
+    if height is not None:
+        h = jnp.broadcast_to(jnp.asarray(height, x.dtype), (n,))
+        mask = mask & (x >= h)
+    peaks = _compact_mask(mask, work_capacity)
+    slot = jnp.arange(work_capacity)
+    valid = slot < peaks.count
+    pos = jnp.where(valid, peaks.positions, n - 1)
+
+    if distance is not None:
+        keep = _select_by_distance(pos, x[pos], valid, distance)
+        pos, count = _recompact(pos, keep, n)
+        valid = slot < count
+        pos = jnp.where(valid, pos, n - 1)
+    else:
+        count = peaks.count
+
+    if prominence is not None:
+        prom = peak_prominences(x, pos, valid)
+        keep = valid & (prom >= jnp.asarray(prominence, x.dtype))
+        pos, count = _recompact(pos, keep, n)
+        valid = slot < count
+        pos = jnp.where(valid, pos, n - 1)
+
+    out_pos = jnp.where(valid, pos, n)[:capacity].astype(jnp.int32)
+    return Peaks(out_pos, jnp.minimum(count, capacity))
+
+
+def _recompact(pos: jnp.ndarray, keep: jnp.ndarray, n: int):
+    cap = pos.shape[0]
+    key = jnp.where(keep, pos, n)
+    out = jnp.sort(key)
+    count = jnp.sum(keep.astype(jnp.int32))
+    return out, count

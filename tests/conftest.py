@@ -1,0 +1,31 @@
+"""Test environment: fake 8-device CPU mesh, float64 enabled.
+
+Must run before any jax import (pytest imports conftest first).  This is the
+TPU-world analog of testing multi-node without a cluster (SURVEY.md §4): the
+sharding tests build a real ``jax.sharding.Mesh`` over 8 virtual CPU devices.
+Float64 is enabled so kernel unit tests can compare bit-for-bit against the
+scipy/pandas oracle; the production path runs float32 on TPU.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The build environment's axon sitecustomize pins JAX_PLATFORMS=axon (the
+# tunneled TPU); tests must run on the virtual CPU mesh, and the config
+# update below overrides the env var before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "vulpine_oracle.npz")
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    return np.load(GOLDEN, allow_pickle=False)

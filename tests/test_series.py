@@ -1,0 +1,63 @@
+import numpy as np
+import pandas as pd
+import jax.numpy as jnp
+
+from bpm_analysis_tpu.ops import series
+
+
+def test_interpolate_dense_matches_pandas():
+    n, cap = 100, 32
+    pos = np.array([5, 10, 11, 40, 77])
+    val = np.array([1.0, 3.0, -2.0, 8.0, 0.5])
+    expected = pd.Series(val, index=pos).reindex(np.arange(n)).interpolate().values
+    kp = np.full(cap, 0)
+    kv = np.zeros(cap)
+    kp[: len(pos)] = pos
+    kv[: len(val)] = val
+    got = np.asarray(
+        series.interpolate_dense(jnp.asarray(kp), jnp.asarray(kv), len(pos), n, dtype=jnp.float64)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+
+
+def test_interpolate_dense_on_vulpine(oracle):
+    troughs = oracle["all_troughs"]
+    env = oracle["envelope"]
+    n = len(env)
+    cap = 4096
+    kp = np.full(cap, 0)
+    kp[: len(troughs)] = troughs
+    kv = np.zeros(cap)
+    kv[: len(troughs)] = env[troughs]
+    got = np.asarray(
+        series.interpolate_dense(jnp.asarray(kp), jnp.asarray(kv), len(troughs), n,
+                                 dtype=jnp.float64)
+    )
+    np.testing.assert_allclose(got, oracle["dense_troughs"], rtol=1e-12, equal_nan=True)
+
+
+def test_asof():
+    idx = np.array([1.0, 2.0, 3.0])
+    val = np.array([10.0, 20.0, 30.0])
+    cap = 8
+    ip = np.zeros(cap)
+    vp = np.zeros(cap)
+    ip[:3] = idx
+    vp[:3] = val
+    q = np.array([0.5, 1.0, 2.5, 9.0])
+    got = np.asarray(series.asof(jnp.asarray(ip), jnp.asarray(vp), 3, jnp.asarray(q)))
+    np.testing.assert_allclose(got, [np.nan, 10.0, 20.0, 30.0], equal_nan=True)
+
+
+def test_masked_quantile_and_median():
+    rng = np.random.RandomState(0)
+    x = rng.rand(50)
+    cap = 64
+    xp = np.zeros(cap)
+    xp[:50] = x
+    valid = np.arange(cap) < 50
+    for q in (0.2, 0.25, 0.5, 0.75):
+        got = float(series.masked_quantile(jnp.asarray(xp), jnp.asarray(valid), q))
+        np.testing.assert_allclose(got, np.quantile(x, q), rtol=1e-12)
+    got = float(series.masked_median(jnp.asarray(xp), jnp.asarray(valid)))
+    np.testing.assert_allclose(got, np.median(x), rtol=1e-12)
