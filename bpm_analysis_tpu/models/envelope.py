@@ -1,0 +1,82 @@
+"""Preprocessing: filtered signal → amplitude envelope (device-side).
+
+Reference: ``preprocess_audio`` (bpm_analysis.py:1007-1062) — mono mix →
+stride decimation → 2nd-order Butterworth band-pass 20-150 Hz (filtfilt) →
+abs → centered rolling mean of ``sr // 10`` samples.
+
+Two entry points:
+
+* :func:`envelope_from_filtered` — the envelope stage alone, for inputs that
+  are already band-passed (the bundled golden sample ships the post-filter
+  signal; the reference's labeler recomputes the envelope from it the same
+  way, heartbeat_labeler.py:62-67).
+* :func:`preprocess` — the full chain from raw PCM.  The compat path
+  reproduces the reference's quirk of decimating *before* filtering with no
+  anti-alias filter (bpm_analysis.py:1031-1045 — despite README.md:6
+  claiming the reverse); ``compat.antialias_decimation=True`` filters at the
+  native rate first (the north-star path).
+
+The decimation factor clamp is host-side (it only depends on the static
+sample rate): ``min(factor, max(1, sr // (2*highcut) - 1))``
+(bpm_analysis.py:1021-1029).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..config import AnalyzerConfig
+from ..ops import rolling
+from ..ops.filter import bandpass_filtfilt
+
+
+def safe_downsample_factor(sample_rate: int, cfg: AnalyzerConfig) -> int:
+    """Reference clamp: ``int(sr / (highcut*2) - 1)`` floor, min 1
+    (bpm_analysis.py:1021-1029)."""
+    factor = cfg.preprocess.downsample_factor
+    max_safe = int(sample_rate / (cfg.preprocess.bandpass_high_hz * 2) - 1)
+    if factor > max_safe:
+        factor = max(1, max_safe)
+    return factor
+
+
+def envelope_from_filtered(filtered: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """abs → centered rolling mean of ``sr // 10`` samples
+    (bpm_analysis.py:1052-1054)."""
+    window = sample_rate // 10
+    return rolling.rolling_mean_centered(jnp.abs(filtered), window)
+
+
+def preprocess(
+    audio: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
+    """Full preprocessing from mono PCM at the native rate.
+
+    Returns (envelope, filtered_signal, new_sample_rate).  The filtered
+    signal is what the reference writes as ``*_filtered_debug.wav``
+    (bpm_analysis.py:1047-1050).
+    """
+    factor = safe_downsample_factor(sample_rate, cfg)
+    low = cfg.preprocess.bandpass_low_hz
+    high = cfg.preprocess.bandpass_high_hz
+    order = cfg.preprocess.bandpass_order
+
+    if cfg.compat.antialias_decimation:
+        # North-star path: band-pass at the native rate (the 150 Hz low-pass
+        # side doubles as the anti-alias filter), then decimate.
+        filtered_native = bandpass_filtfilt(audio, sample_rate, low, high, order)
+        filtered = filtered_native[::factor] if factor > 1 else filtered_native
+        new_rate = sample_rate // factor if factor > 1 else sample_rate
+    else:
+        # Compat path: stride-decimate first (aliases above the new Nyquist
+        # fold in — reproducing bpm_analysis.py:1031-1045 exactly).
+        decimated = audio[::factor] if factor > 1 else audio
+        new_rate = sample_rate // factor if factor > 1 else sample_rate
+        if high >= 0.5 * new_rate:
+            raise ValueError(
+                f"Cannot create a {high:g}Hz filter: effective rate {new_rate}Hz too low"
+            )
+        filtered = bandpass_filtfilt(decimated, new_rate, low, high, order)
+
+    return envelope_from_filtered(filtered, new_rate), filtered, new_rate

@@ -1,0 +1,107 @@
+"""Dynamic noise-floor estimation (reference bpm_analysis.py:1064-1117).
+
+Pipeline (all on device, shape-static):
+
+1. trough detection on the negated envelope (distance + prominence, where
+   the prominence threshold is a quantile of the *envelope*, :1067),
+2. draft floor: dense linear interpolation of trough amplitudes → centered
+   rolling quantile (window ``noise_window_sec * sr``, ``min_periods=3``,
+   q = ``noise_floor_quantile``) → bfill/ffill,
+3. trough sanitization: keep troughs with amplitude ≤ ``multiplier`` × the
+   draft floor at the trough (:1090-1097),
+4. final floor: same rolling quantile over the sanitized troughs only.
+
+Fallback ladder (reproduced via masked selects so the whole thing stays one
+traced program under vmap):
+
+* fewer than 5 raw troughs → static floor at the envelope's
+  ``noise_floor_quantile`` (:1073-1077), and the *raw* troughs are returned,
+* ≤ 2 sanitized troughs → fall back to the (filled) draft floor (:1107-1110),
+* final floor all-NaN → static floor at quantile 0.1 (:1112-1115).
+
+Note the reference's fallback return values: the <5-trough branch returns
+the raw trough list, while the normal path returns the *sanitized* troughs
+(:1077,1117) — the classifier's trough markers and debug log reflect that.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..config import AnalyzerConfig
+from ..ops import find_peaks as fp
+from ..ops import quantile as q
+from ..ops import series
+
+
+class NoiseFloorResult(NamedTuple):
+    floor: jnp.ndarray            # (n,) dense noise floor
+    trough_positions: jnp.ndarray  # (max_troughs,) int32, padded with n
+    trough_count: jnp.ndarray      # () int32
+    raw_trough_positions: jnp.ndarray
+    raw_trough_count: jnp.ndarray
+
+
+def dynamic_noise_floor(
+    envelope: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig
+) -> NoiseFloorResult:
+    n = envelope.shape[0]
+    ncfg = cfg.noise
+    cap = cfg.runtime.max_troughs
+
+    min_dist = int(cfg.features.min_peak_distance_sec * sample_rate)
+    trough_prom = jnp.quantile(envelope, cfg.features.trough_prominence_quantile)
+    troughs = fp.find_peaks(
+        -envelope, cap, prominence=trough_prom, distance=min_dist,
+        work_capacity=4 * cap,
+    )
+    slot = jnp.arange(cap)
+    t_valid = slot < troughs.count
+    t_pos = jnp.where(t_valid, troughs.positions, 0)
+    t_amp = envelope[t_pos]
+
+    window = int(ncfg.noise_window_sec * sample_rate)
+    chunk = cfg.runtime.quantile_chunk
+
+    # --- draft floor from ALL troughs --------------------------------------
+    dense_draft = series.interpolate_dense(t_pos, t_amp, troughs.count, n,
+                                           dtype=envelope.dtype)
+    draft = q.rolling_quantile_centered(dense_draft, window, ncfg.noise_floor_quantile,
+                                        min_periods=3, chunk=chunk)
+    draft_filled = q.bfill_ffill(draft)
+
+    # --- sanitize troughs ---------------------------------------------------
+    floor_at_trough = draft_filled[t_pos]
+    keep = t_valid & ~jnp.isnan(floor_at_trough) & (
+        t_amp <= ncfg.trough_rejection_multiplier * floor_at_trough
+    )
+    sane_pos, sane_count = series.compact_valid(t_pos, keep, fill=n)
+    sane_amp = envelope[jnp.where(jnp.arange(cap) < sane_count, sane_pos, 0)]
+
+    # --- final floor from sanitized troughs --------------------------------
+    dense_final = series.interpolate_dense(sane_pos, sane_amp, sane_count, n,
+                                           dtype=envelope.dtype)
+    final = q.rolling_quantile_centered(dense_final, window, ncfg.noise_floor_quantile,
+                                        min_periods=3, chunk=chunk)
+    final = q.bfill_ffill(final)
+
+    # --- fallback ladder ----------------------------------------------------
+    floor = jnp.where(sane_count > 2, final, draft_filled)
+    static_all_nan = jnp.quantile(envelope, ncfg.all_nan_fallback_quantile)
+    floor = jnp.where(jnp.all(jnp.isnan(floor)), static_all_nan, floor)
+    static_few = jnp.quantile(envelope, ncfg.noise_floor_quantile)
+    few_troughs = troughs.count < 5
+    floor = jnp.where(few_troughs, static_few, floor)
+
+    # Returned trough set: raw when <5 troughs, sanitized otherwise.
+    out_pos = jnp.where(few_troughs, troughs.positions, sane_pos)
+    out_count = jnp.where(few_troughs, troughs.count, sane_count)
+
+    return NoiseFloorResult(
+        floor=floor,
+        trough_positions=out_pos.astype(jnp.int32),
+        trough_count=out_count,
+        raw_trough_positions=troughs.positions,
+        raw_trough_count=troughs.count,
+    )

@@ -1,0 +1,80 @@
+import numpy as np
+import jax.numpy as jnp
+
+from bpm_analysis_tpu import types
+from bpm_analysis_tpu.config import DEFAULT_CONFIG
+from bpm_analysis_tpu.models import classifier
+
+
+def _run_main_pass(oracle, cfg=DEFAULT_CONFIG):
+    env = jnp.asarray(oracle["envelope"])
+    floor = jnp.asarray(oracle["noise_floor"])
+    sr = int(oracle["sample_rate"])
+    peaks = oracle["all_raw_peaks"]
+    cap = cfg.runtime.max_raw_peaks
+    pos = np.full(cap, len(env), dtype=np.int32)
+    pos[: len(peaks)] = peaks
+    return classifier.classify(
+        env, floor, jnp.asarray(pos), jnp.asarray(len(peaks)), sr,
+        float(oracle["start_bpm"]), cfg,
+        peak_bpm_time_sec=float(oracle["peak_time"]),
+        recovery_end_time_sec=float(oracle["recovery_time"]),
+    )
+
+
+def test_smoothed_deviation_matches_oracle(oracle):
+    res = _run_main_pass(oracle)
+    n_dev = len(oracle["all_raw_peaks"]) - 1
+    got = np.asarray(res.smoothed_deviation)[:n_dev]
+    np.testing.assert_allclose(got, oracle["smoothed_dev_values"], rtol=1e-9)
+
+
+def test_classifications_match_oracle(oracle):
+    res = _run_main_pass(oracle)
+    peaks = oracle["all_raw_peaks"]
+    got_codes = np.asarray(res.trace.peak_class)[: len(peaks)]
+    exp_codes = types.labels_to_codes(oracle["labels"])
+    mismatches = np.nonzero(got_codes != exp_codes)[0]
+    assert mismatches.size == 0, (
+        f"{mismatches.size} mismatches at slots {mismatches[:10]}: "
+        f"got {got_codes[mismatches[:10]]} expected {exp_codes[mismatches[:10]]}"
+    )
+
+
+def test_s1_peaks_match_oracle(oracle):
+    res = _run_main_pass(oracle)
+    count = int(res.s1_count)
+    got = np.asarray(res.s1_positions)[:count]
+    np.testing.assert_array_equal(got, oracle["s1_peaks"])
+
+
+def test_belief_trajectory_matches_oracle(oracle):
+    res = _run_main_pass(oracle)
+    times = np.asarray(res.trace.belief_time_sec)
+    beliefs = np.asarray(res.trace.belief)
+    mask = ~np.isnan(times)
+    np.testing.assert_allclose(times[mask], oracle["lt_bpm_times"], rtol=1e-12)
+    np.testing.assert_allclose(beliefs[mask], oracle["lt_bpm_values"], rtol=1e-9)
+
+
+def test_anchor_pass_matches_oracle(oracle):
+    cfg = DEFAULT_CONFIG.with_pairing_threshold(
+        DEFAULT_CONFIG.pairing.preliminary_confidence_threshold
+    )
+    env = jnp.asarray(oracle["envelope"])
+    floor = jnp.asarray(oracle["noise_floor"])
+    sr = int(oracle["sample_rate"])
+    peaks = oracle["all_raw_peaks"]
+    cap = cfg.runtime.max_raw_peaks
+    pos = np.full(cap, len(env), dtype=np.int32)
+    pos[: len(peaks)] = peaks
+    res = classifier.classify(
+        env, floor, jnp.asarray(pos), jnp.asarray(len(peaks)), sr, None_to_default(), cfg
+    )
+    count = int(res.s1_count)
+    np.testing.assert_array_equal(np.asarray(res.s1_positions)[:count], oracle["anchor_beats"])
+
+
+def None_to_default():
+    # Reference: start hint None -> 80.0 (bpm_analysis.py:103)
+    return 80.0
