@@ -1,0 +1,254 @@
+"""Post-classification correction passes (reference stages 4 & 5).
+
+Stage 4 — ``correct_peaks_by_rhythm`` (bpm_analysis.py:1257-1306): greedy
+left-to-right conflict resolution.  Intervals shorter than
+``median_RR * rr_correction_threshold_pct`` drop/replace the lower-amplitude
+peak.  Sequential by construction (each decision depends on the last
+*accepted* peak) → a ``lax.scan`` over candidate slots carrying the output
+write cursor.  Skipped for < 5 peaks.
+
+Stage 5 — ``_fix_rhythmic_discontinuities`` (bpm_analysis.py:1309-1412),
+iterated ≤ 5 times until no corrections (:1671-1695):
+
+* pass 1 (gap promotion): for every adjacent S1 interval longer than
+  ``median * rr_correction_long_interval_pct`` (median over IQR-filtered
+  intervals), promote the first qualifying Noise-labeled raw-peak pair in
+  the gap to ``S1/S2 (Paired - Corrected from Gap)``.  Gaps are disjoint, so
+  this pass is fully parallel here: candidate qualification is vectorized
+  over raw peaks and a segmented argmin picks the first per gap.
+* pass 2 (short-interval removal): sequential adjacent-pair walk with
+  already-removed skips → another short scan.
+
+The reference identifies "Noise" candidates by substring-matching its debug
+strings (:1351,1357); since corrected peaks keep their original reason via an
+``ORIGINAL_REASON`` tag, a once-noise peak keeps matching in later
+iterations.  We carry an explicit ``noise_flag`` per raw peak with exactly
+that sticky semantics.
+
+Both passes preserve margins of ``margin_beats`` at each end (:1318,1345,
+1383) — note pass 1 scans ``i in [margin, len-1-margin)`` over the *input*
+S1 list while pass 2 scans the list *with additions*.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import AnalyzerConfig
+from ..ops import series
+from .. import types
+
+
+class CorrectionResult(NamedTuple):
+    positions: jnp.ndarray       # (max_candidates,) int32 final S1 peaks
+    count: jnp.ndarray
+    classes: jnp.ndarray         # (max_raw_peaks,) int32 updated classes
+    precorrection_classes: jnp.ndarray  # classes before any gap promotion
+
+
+def rhythm_correction(
+    positions: jnp.ndarray, count, envelope: jnp.ndarray, sample_rate: int,
+    cfg: AnalyzerConfig,
+):
+    """Stage 4.  Returns (positions, count) with conflicts resolved."""
+    cap = positions.shape[0]
+    n = envelope.shape[0]
+    dtype = envelope.dtype
+    sr = jnp.asarray(sample_rate, dtype)
+    slot = jnp.arange(cap)
+    valid = slot < count
+    pos = jnp.where(valid, positions, n)
+    amp = envelope[jnp.clip(pos, 0, n - 1)]
+
+    rr = (pos[1:] - pos[:-1]).astype(dtype) / sr
+    rr_valid = slot[:-1] < count - 1
+    median_rr = series.masked_median(rr, rr_valid)
+    threshold = median_rr * cfg.correction.rr_correction_threshold_pct
+
+    def step(carry, xs):
+        out_pos, out_len, last_pos, last_amp = carry
+        i, p, a, v = xs
+        interval = (p - last_pos).astype(dtype) / sr
+        conflict = interval < threshold
+        replace = conflict & (a > last_amp)
+        drop = conflict & ~replace
+        # replace: overwrite slot out_len-1; append: write slot out_len.
+        write_idx = jnp.where(replace, out_len - 1, out_len)
+        do_write = v & (i > 0) & ~drop
+        out_pos = jnp.where(
+            do_write, out_pos.at[jnp.maximum(write_idx, 0)].set(p), out_pos
+        )
+        out_len = out_len + (do_write & ~replace).astype(jnp.int32)
+        new_last_pos = jnp.where(v & (i > 0) & ~drop, p, last_pos)
+        new_last_amp = jnp.where(v & (i > 0) & ~drop, a, last_amp)
+        return (out_pos, out_len, new_last_pos, new_last_amp), ()
+
+    init_out = jnp.where(slot == 0, pos[0], n).astype(jnp.int32)
+    init = (init_out, jnp.asarray(1, jnp.int32), pos[0], amp[0])
+    (out_pos, out_len, _, _), _ = lax.scan(step, init, (slot, pos.astype(jnp.int32), amp, valid))
+
+    # Reference skips correction entirely for < 5 peaks (bpm_analysis.py:1263).
+    skip = count < 5
+    final_pos = jnp.where(skip, positions, jnp.where(jnp.arange(cap) < out_len, out_pos, n))
+    final_count = jnp.where(skip, count, out_len)
+    return final_pos.astype(jnp.int32), final_count
+
+
+def _fix_iteration(
+    s1_pos, s1_count, raw_pos, raw_count, noise_flag, classes,
+    envelope, floor, sample_rate, cfg: AnalyzerConfig,
+):
+    """One iteration of stage 5.  Returns updated (s1_pos, s1_count,
+    noise_flag, classes, corrections_made)."""
+    c = cfg.correction
+    cap = s1_pos.shape[0]
+    rcap = raw_pos.shape[0]
+    n = envelope.shape[0]
+    dtype = envelope.dtype
+    sr = jnp.asarray(sample_rate, dtype)
+    margin = c.margin_beats
+
+    slot = jnp.arange(cap)
+    valid = slot < s1_count
+    pos = jnp.where(valid, s1_pos, n)
+
+    enough = s1_count >= margin * 2
+
+    rr = (pos[1:] - pos[:-1]).astype(dtype) / sr
+    rr_valid = slot[:-1] < s1_count - 1
+    q1 = series.masked_quantile(rr, rr_valid, 0.25)
+    q3 = series.masked_quantile(rr, rr_valid, 0.75)
+    iqr = q3 - q1
+    stable = rr_valid & (rr > q1 - 1.5 * iqr) & (rr < q3 + 1.5 * iqr)
+    any_stable = jnp.sum(stable.astype(jnp.int32)) >= 1
+    median_rr = series.masked_median(rr, stable)
+    short_thresh = median_rr * c.rr_correction_threshold_pct
+    long_thresh = median_rr * c.rr_correction_long_interval_pct
+
+    active = enough & any_stable
+
+    # ---- pass 1: promote noise pairs inside long gaps ---------------------
+    gap_slot = slot  # gap g spans (pos[g], pos[g+1])
+    gap_in_margin = (gap_slot >= margin) & (gap_slot < s1_count - 1 - margin)
+    gap_long = gap_in_margin & (rr_padded(rr, cap) > long_thresh)
+
+    rslot = jnp.arange(rcap)
+    rvalid = rslot < raw_count
+    rpos = jnp.where(rvalid, raw_pos, n)
+    rpos_c = jnp.clip(rpos, 0, n - 1)
+    next_rpos = jnp.concatenate([rpos[1:], jnp.full((1,), n, rpos.dtype)])
+    has_next = rslot + 1 < raw_count
+    next_noise = jnp.concatenate([noise_flag[1:], jnp.zeros((1,), jnp.bool_)])
+
+    gap_of = jnp.searchsorted(pos, rpos, side="right") - 1
+    gap_of_c = jnp.clip(gap_of, 0, cap - 1)
+    in_gap = (gap_of >= 0) & (rpos > pos[gap_of_c]) & (rpos < pos[jnp.minimum(gap_of_c + 1, cap - 1)])
+
+    s1_strength = jnp.maximum(envelope[rpos_c] - floor[rpos_c], 0)
+    strong = s1_strength > c.penalty_waiver_strength_ratio * floor[rpos_c]
+    next_rpos_c = jnp.clip(next_rpos, 0, n - 1)
+    ratio_ok = (envelope[next_rpos_c] / (envelope[rpos_c] + 1e-9)
+                < c.penalty_waiver_max_s2_s1_ratio)
+    s2_in_gap = next_rpos < pos[jnp.minimum(gap_of_c + 1, cap - 1)]
+
+    cand_ok = (active & rvalid & noise_flag & in_gap & gap_long[gap_of_c]
+               & has_next & next_noise & s2_in_gap & strong & ratio_ok)
+
+    # first qualifying candidate per gap (segmented min over raw slots)
+    first_per_gap = jnp.full((cap,), rcap, jnp.int32).at[gap_of_c].min(
+        jnp.where(cand_ok, rslot, rcap).astype(jnp.int32)
+    )
+    promoted_s1_rslot = jnp.where(gap_long & (first_per_gap < rcap), first_per_gap, rcap)
+    promote_mask_s1 = jnp.zeros((rcap + 1,), jnp.bool_).at[promoted_s1_rslot].set(True)[:rcap]
+    promote_mask_s2 = jnp.concatenate([jnp.zeros((1,), jnp.bool_), promote_mask_s1[:-1]])
+
+    n_promoted = jnp.sum(promote_mask_s1.astype(jnp.int32))
+    classes = jnp.where(promote_mask_s1, types.S1_CORRECTED_GAP, classes)
+    classes = jnp.where(promote_mask_s2, types.S2_CORRECTED_GAP, classes)
+    # noise_flag is sticky (ORIGINAL_REASON keeps the "Noise" substring).
+
+    # merge promoted S1 positions into the S1 list
+    add_pos = jnp.where(promote_mask_s1, rpos, n)
+    merged = jnp.sort(jnp.concatenate([pos, add_pos]))[:cap]
+    merged_count = s1_count + n_promoted
+    # NOTE: capacity overflow drops the tail (documented).
+
+    # ---- pass 2: remove the weaker of too-close adjacent beats ------------
+    mslot = jnp.arange(cap)
+    mvalid = mslot < merged_count
+    mpos = jnp.where(mvalid, merged, n)
+    mamp = envelope[jnp.clip(mpos, 0, n - 1)]
+
+    def step(removed, i):
+        a_idx, b_idx = i, i + 1
+        in_range = active & (i >= margin) & (i < merged_count - 1 - margin)
+        both_alive = ~removed[a_idx] & ~removed[jnp.minimum(b_idx, cap - 1)]
+        interval = (mpos[jnp.minimum(b_idx, cap - 1)] - mpos[a_idx]).astype(dtype) / sr
+        conflict = in_range & both_alive & (interval < short_thresh)
+        rm_a = conflict & (mamp[jnp.minimum(b_idx, cap - 1)] > mamp[a_idx])
+        rm_b = conflict & ~rm_a
+        removed = removed.at[a_idx].set(removed[a_idx] | rm_a)
+        removed = removed.at[jnp.minimum(b_idx, cap - 1)].set(
+            removed[jnp.minimum(b_idx, cap - 1)] | rm_b
+        )
+        return removed, conflict
+
+    removed0 = jnp.zeros((cap,), jnp.bool_)
+    removed, conflicts = lax.scan(step, removed0, mslot)
+    n_removed = jnp.sum(conflicts.astype(jnp.int32))
+
+    keep = mvalid & ~removed
+    out_pos, out_count = series.compact_valid(mpos, keep, fill=n)
+
+    corrections = jnp.where(active, n_promoted + n_removed, 0).astype(jnp.int32)
+    # When inactive, pass through unchanged.
+    out_pos = jnp.where(active, out_pos, s1_pos)
+    out_count = jnp.where(active, out_count, s1_count).astype(jnp.int32)
+    return (out_pos.astype(jnp.int32), out_count, noise_flag,
+            classes.astype(jnp.int32), corrections)
+
+
+def rr_padded(rr, cap):
+    return jnp.concatenate([rr, jnp.full((1,), jnp.inf, rr.dtype)])[:cap]
+
+
+def refine_and_correct(
+    s1_pos, s1_count, raw_pos, raw_count, classes,
+    envelope, floor, sample_rate, cfg: AnalyzerConfig,
+) -> CorrectionResult:
+    """Stages 4 + 5 (reference ``_refine_and_correct_peaks``,
+    bpm_analysis.py:1655-1698)."""
+    s1_pos = jnp.asarray(s1_pos, jnp.int32)
+    s1_count = jnp.asarray(s1_count, jnp.int32)
+    raw_pos = jnp.asarray(raw_pos, jnp.int32)
+    raw_count = jnp.asarray(raw_count, jnp.int32)
+    classes = jnp.asarray(classes, jnp.int32)
+    precorrection = classes
+    if not cfg.correction.enable_correction_pass:
+        return CorrectionResult(s1_pos, s1_count, classes, precorrection)
+
+    pos, count = rhythm_correction(s1_pos, s1_count, envelope, sample_rate, cfg)
+
+    # "Noise" substring flag: NOISE class now; sticky through promotions.
+    noise_flag = classes == types.NOISE
+
+    def body(i, state):
+        pos, count, noise_flag, classes, still_active = state
+        new_pos, new_count, new_flag, new_classes, corrections = _fix_iteration(
+            pos, count, raw_pos, raw_count, noise_flag, classes,
+            envelope, floor, sample_rate, cfg,
+        )
+        take = still_active
+        pos = jnp.where(take, new_pos, pos)
+        count = jnp.where(take, new_count, count)
+        classes = jnp.where(take, new_classes, classes)
+        noise_flag = jnp.where(take, new_flag, noise_flag)
+        still_active = still_active & (corrections > 0)
+        return (pos, count, noise_flag, classes, still_active)
+
+    state = (pos, count, noise_flag, classes, jnp.asarray(True))
+    state = lax.fori_loop(0, cfg.correction.max_iterations, body, state)
+    pos, count, _, classes, _ = state
+    return CorrectionResult(pos, count, classes, precorrection)

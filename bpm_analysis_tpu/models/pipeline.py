@@ -1,0 +1,175 @@
+"""Single-recording analysis pipeline — the device-side orchestrator.
+
+Mirrors ``analyze_wav_file`` (bpm_analysis.py:1725-1768):
+
+  STAGE 1   envelope + dynamic noise floor
+  STAGE 2   preliminary high-confidence pass → start BPM + recovery window
+  STAGE 3   main classification scan
+  STAGE 4+5 rhythmic + iterative gap/conflict corrections
+  STAGE 6   metrics (BPM curve, HRV, HRR, slopes)
+
+Everything below PCM ingest is one traced JAX program (jit/vmap/pjit-able);
+file I/O, FFmpeg and report rendering stay on host (north-star split,
+BASELINE.json).
+
+The ``start_bpm_hint`` is a traced scalar: NaN means "no hint", reproducing
+the reference's ``hint or estimate or 80.0`` falsiness chain (a 0.0 hint also
+falls through, bpm_analysis.py:1647).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AnalyzerConfig
+from ..ops import find_peaks as fp
+from ..ops import series
+from .. import types
+from . import analytics, classifier, corrections, noise_floor
+
+
+class PipelineResult(NamedTuple):
+    floor: jnp.ndarray
+    trough_positions: jnp.ndarray
+    trough_count: jnp.ndarray
+    raw_peak_positions: jnp.ndarray
+    raw_peak_count: jnp.ndarray
+    start_bpm: jnp.ndarray
+    peak_bpm_time: jnp.ndarray      # NaN when no recovery phase found
+    recovery_end_time: jnp.ndarray
+    trace: classifier.ClassifierTrace
+    smoothed_deviation: jnp.ndarray
+    classes: jnp.ndarray            # final (post-correction) class per raw peak
+    precorrection_classes: jnp.ndarray
+    s1_positions: jnp.ndarray       # post-classification, pre-correction
+    s1_count: jnp.ndarray
+    final_positions: jnp.ndarray    # post-correction S1 peaks
+    final_count: jnp.ndarray
+    metrics: analytics.Metrics
+    ok: jnp.ndarray                 # >= 2 final peaks (reference returns None otherwise)
+
+
+def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
+              cfg: AnalyzerConfig) -> fp.Peaks:
+    """``PeakClassifier._find_raw_peaks`` (bpm_analysis.py:223-229)."""
+    prom = jnp.quantile(envelope, cfg.features.peak_prominence_quantile)
+    dist = int(cfg.features.min_peak_distance_sec * sample_rate)
+    return fp.find_peaks(
+        envelope, cfg.runtime.max_raw_peaks, height=floor, prominence=prom,
+        distance=dist, work_capacity=4 * cfg.runtime.max_raw_peaks,
+    )
+
+
+def preliminary_pass(envelope, floor, peaks: fp.Peaks, sample_rate: int,
+                     start_bpm_hint, cfg: AnalyzerConfig):
+    """``_run_preliminary_pass`` (bpm_analysis.py:1623-1652)."""
+    dtype = envelope.dtype
+    hint_valid = ~jnp.isnan(start_bpm_hint) & (start_bpm_hint != 0)
+    hint_or_default = jnp.where(hint_valid, start_bpm_hint,
+                                cfg.rhythm.default_start_bpm)
+
+    cfg_hc = cfg.with_pairing_threshold(cfg.pairing.preliminary_confidence_threshold)
+    res = classifier.classify(
+        envelope, floor, peaks.positions, peaks.count, sample_rate,
+        hint_or_default, cfg_hc,
+    )
+    anchors, a_count = res.s1_positions, res.s1_count
+
+    cap = anchors.shape[0]
+    slot = jnp.arange(cap)
+    rr = (anchors[1:] - anchors[:-1]).astype(dtype) / sample_rate
+    rr_valid = slot[:-1] < a_count - 1
+    median_rr = series.masked_median(rr, rr_valid)
+    est_valid = (a_count >= 10) & (median_rr > 0)
+    estimate = 60.0 / jnp.where(median_rr > 0, median_rr, 1.0)
+
+    start_bpm = jnp.where(hint_valid, start_bpm_hint,
+                          jnp.where(est_valid, estimate, cfg.rhythm.default_start_bpm))
+
+    prelim_bpm = analytics.bpm_series(anchors, a_count, sample_rate, cfg, dtype)
+    peak_time, recovery_end, rec_ok = analytics.recovery_phase(prelim_bpm, cfg)
+    peak_time = jnp.where(rec_ok, peak_time, jnp.nan)
+    recovery_end = jnp.where(rec_ok, recovery_end, jnp.nan)
+    return start_bpm, peak_time, recovery_end
+
+
+def analyze_envelope(envelope: jnp.ndarray, sample_rate: int,
+                     cfg: AnalyzerConfig, start_bpm_hint=jnp.nan) -> PipelineResult:
+    """Full pipeline from a precomputed envelope (stages 1b-6)."""
+    dtype = envelope.dtype
+    n = envelope.shape[0]
+    start_bpm_hint = jnp.asarray(start_bpm_hint, dtype)
+
+    nf = noise_floor.dynamic_noise_floor(envelope, sample_rate, cfg)
+    peaks = raw_peaks(envelope, nf.floor, sample_rate, cfg)
+
+    start_bpm, peak_time, recovery_end = preliminary_pass(
+        envelope, nf.floor, peaks, sample_rate, start_bpm_hint, cfg
+    )
+
+    res = classifier.classify(
+        envelope, nf.floor, peaks.positions, peaks.count, sample_rate,
+        start_bpm, cfg, peak_bpm_time_sec=peak_time,
+        recovery_end_time_sec=recovery_end,
+    )
+
+    # Reference short-circuit: < 2 raw peaks → every raw peak is a "beat"
+    # with no debug info (bpm_analysis.py:115-116).
+    few = peaks.count < 2
+    ccap = cfg.runtime.max_candidates
+    s1_pos = jnp.where(few, jnp.where(jnp.arange(ccap) < peaks.count,
+                                      peaks.positions[:ccap], n),
+                       res.s1_positions)
+    s1_count = jnp.where(few, jnp.minimum(peaks.count, ccap), res.s1_count)
+
+    corr = corrections.refine_and_correct(
+        s1_pos, s1_count, peaks.positions, peaks.count, res.trace.peak_class,
+        envelope, nf.floor, sample_rate, cfg,
+    )
+
+    metrics = analytics.compute_metrics(
+        corr.positions, corr.count, sample_rate, cfg, dtype
+    )
+
+    return PipelineResult(
+        floor=nf.floor,
+        trough_positions=nf.trough_positions,
+        trough_count=nf.trough_count,
+        raw_peak_positions=peaks.positions,
+        raw_peak_count=peaks.count,
+        start_bpm=start_bpm,
+        peak_bpm_time=peak_time,
+        recovery_end_time=recovery_end,
+        trace=res.trace,
+        smoothed_deviation=res.smoothed_deviation,
+        classes=corr.classes,
+        precorrection_classes=corr.precorrection_classes,
+        s1_positions=s1_pos,
+        s1_count=s1_count,
+        final_positions=corr.positions,
+        final_count=corr.count,
+        metrics=metrics,
+        ok=corr.count >= 2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
+def analyze_envelope_jit(envelope, sample_rate: int, cfg: AnalyzerConfig,
+                         start_bpm_hint=jnp.nan) -> PipelineResult:
+    return analyze_envelope(envelope, sample_rate, cfg, start_bpm_hint)
+
+
+def analyze_batch(envelopes: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig,
+                  start_bpm_hints: Optional[jnp.ndarray] = None) -> PipelineResult:
+    """vmapped pipeline over a batch of equal-length envelopes.
+
+    This is the unit the runtime shards across chips: the classifier scans
+    run in lockstep over the batch, amortizing the sequential steps.
+    """
+    if start_bpm_hints is None:
+        start_bpm_hints = jnp.full((envelopes.shape[0],), jnp.nan, envelopes.dtype)
+    fn = jax.vmap(lambda e, h: analyze_envelope(e, sample_rate, cfg, h))
+    return fn(envelopes, start_bpm_hints)
