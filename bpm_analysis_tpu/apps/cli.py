@@ -1,0 +1,98 @@
+"""Batch CLI — the framework's primary front-end.
+
+Replaces the reference's Tk GUI worker loop (gui.py:181-265) for headless /
+production use: multiple files, per-file error roster, BPM-hint persistence
+(auto-loaded from ``{base}_Analysis_Settings.json`` like gui.py:143-166),
+optional auto-discovery of supported audio in the working directory
+(gui.py:88-115).
+
+    python -m bpm_analysis_tpu.apps.cli recording.wav --output-dir processed_files
+    python -m bpm_analysis_tpu.apps.cli *.mp3 --bpm-hint 120
+    python -m bpm_analysis_tpu.apps.cli sample_filtered_debug.wav --pre-filtered
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+from ..config import DEFAULT_CONFIG
+from ..host import SUPPORTED_EXTENSIONS, analyze_any_file
+from ..reports import settings as settings_mod
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bpm-analyze",
+        description="TPU-native heartbeat BPM analyzer (batch mode)",
+    )
+    p.add_argument("files", nargs="*", help="audio files (default: all supported in cwd)")
+    p.add_argument("--output-dir", default="processed_files",
+                   help="artifact directory (default: processed_files)")
+    p.add_argument("--bpm-hint", type=float, default=None,
+                   help="global starting-BPM hint (per-file saved hints take precedence)")
+    p.add_argument("--pre-filtered", action="store_true",
+                   help="inputs are already band-passed/decimated signals "
+                        "(e.g. *_filtered_debug.wav artifacts)")
+    p.add_argument("--no-saved-hints", action="store_true",
+                   help="ignore per-file hints saved in _Analysis_Settings.json")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def discover_files() -> list:
+    return sorted(
+        f for f in os.listdir(".")
+        if f.lower().endswith(SUPPORTED_EXTENSIONS) and os.path.isfile(f)
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s - [%(levelname)s] - %(message)s",
+        stream=sys.stdout,
+    )
+
+    files = args.files or discover_files()
+    if not files:
+        print("No input files (and none discovered in the working directory).",
+              file=sys.stderr)
+        return 2
+
+    errors = []
+    for path in files:
+        base = os.path.splitext(os.path.basename(path))[0]
+        hint = args.bpm_hint
+        if not args.no_saved_hints:
+            saved = settings_mod.load_hint(args.output_dir, base)
+            if saved is not None:
+                hint = saved
+        try:
+            result = analyze_any_file(
+                path, DEFAULT_CONFIG, hint, args.output_dir, pre_filtered=args.pre_filtered
+            )
+            if result is None:
+                print(f"{path}: not enough beats detected for a report")
+            else:
+                m = result.metrics
+                print(f"{path}: {int(result.final_count)} beats, "
+                      f"avg/min/max BPM {float(m.avg_bpm):.1f}/"
+                      f"{float(m.min_bpm):.1f}/{float(m.max_bpm):.1f} "
+                      f"-> {args.output_dir}/{base}_*")
+        except Exception as e:  # per-file isolation (gui.py:247-257)
+            logging.exception(f"analysis failed for {path}")
+            errors.append((path, str(e)))
+
+    if errors:
+        print("\nFiles with errors:", file=sys.stderr)
+        for path, msg in errors:
+            print(f"  {path}: {msg}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

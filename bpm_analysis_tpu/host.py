@@ -1,0 +1,130 @@
+"""Host-side orchestration: file in → device pipeline → artifact files out.
+
+This is the TPU framework's equivalent of the reference's
+``analyze_wav_file`` orchestrator (bpm_analysis.py:1725-1768) plus the GUI
+worker's convert-or-copy step (gui.py:202-245).  Host does decode, I/O and
+report rendering; everything between PCM and metrics is the jitted device
+program (``models.pipeline``).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import subprocess
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import AnalyzerConfig, DEFAULT_CONFIG
+from .io import wav
+from .models import envelope as envm
+from .models import pipeline
+from .reports import csvout, debug_log, plot, settings, summary
+
+SUPPORTED_EXTENSIONS = (".wav", ".mp3", ".m4a", ".flac", ".ogg", ".mp4", ".mkv", ".mov")
+
+
+def convert_to_wav(file_path: str, target_path: str) -> bool:
+    """Any format → mono WAV.  The reference shells out to FFmpeg via pydub
+    (bpm_analysis.py:989-1005); we invoke the ffmpeg CLI directly."""
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError("ffmpeg is required for non-WAV inputs but was not found on PATH")
+    logging.info(f"Converting {os.path.basename(file_path)} to WAV format...")
+    try:
+        subprocess.run(
+            [ffmpeg, "-y", "-i", file_path, "-ac", "1", target_path],
+            check=True, capture_output=True,
+        )
+        return True
+    except subprocess.CalledProcessError as e:
+        logging.error(f"Could not convert file {file_path}. Error: {e.stderr[-500:]}")
+        return False
+
+
+def analyze_wav_file(
+    wav_file_path: str,
+    cfg: AnalyzerConfig = DEFAULT_CONFIG,
+    start_bpm_hint: Optional[float] = None,
+    original_file_path: Optional[str] = None,
+    output_directory: str = ".",
+    pre_filtered: bool = False,
+):
+    """Single-file pipeline producing the reference's artifact set:
+    ``{base}_bpm_plot.html`` + ``.csv``, ``{base}_Analysis_Summary.md``,
+    ``{base}_Debug_Log.md``, ``{base}_Analysis_Settings.json`` and (unless
+    ``pre_filtered``) ``{base}_filtered_debug.wav``.
+
+    Returns the PipelineResult, or None when fewer than 2 final beats were
+    found (reference bpm_analysis.py:1752-1754).
+    """
+    start = time.time()
+    original_file_path = original_file_path or wav_file_path
+    logging.info(f"--- Processing file: {os.path.basename(original_file_path)} ---")
+    os.makedirs(output_directory, exist_ok=True)
+
+    sample_rate, data = wav.read(wav_file_path)
+    mono = wav.to_mono(data).astype(np.float32 if cfg.runtime.dtype == "float32" else np.float64)
+    dtype = jnp.float32 if cfg.runtime.dtype == "float32" else jnp.float64
+
+    if pre_filtered:
+        # Input is already the band-passed (decimated) signal — e.g. a
+        # ``*_filtered_debug.wav`` artifact; skip decimation/filtering the
+        # way the reference's labeler does (heartbeat_labeler.py:62-67).
+        new_rate = sample_rate
+        env = envm.envelope_from_filtered(jnp.asarray(mono, dtype), new_rate)
+    else:
+        env, filtered, new_rate = envm.preprocess(jnp.asarray(mono, dtype), sample_rate, cfg)
+        if cfg.preprocess.save_filtered_wav:
+            base = os.path.basename(os.path.splitext(original_file_path)[0])
+            fa = np.asarray(filtered)
+            peak = np.max(np.abs(fa)) or 1.0
+            norm = np.int16(fa / peak * 32767)
+            wav.write(os.path.join(output_directory, f"{base}_filtered_debug.wav"),
+                      new_rate, norm)
+
+    hint = float(start_bpm_hint) if start_bpm_hint else float("nan")
+    result = pipeline.analyze_envelope_jit(env, new_rate, cfg, hint)
+
+    base = os.path.basename(os.path.splitext(original_file_path)[0])
+    settings.save(output_directory, base, start_bpm_hint)
+
+    if not bool(result.ok):
+        logging.warning("Not enough S1 peaks detected to generate full report.")
+        return None
+
+    env_np = np.asarray(env)
+    times, bpm = csvout.bpm_rows(result)
+    csvout.write_bpm_csv(os.path.join(output_directory, f"{base}_bpm_plot.csv"), times, bpm)
+    summary.save(result, original_file_path, output_directory)
+    debug_log.save(result, cfg, env_np, new_rate, original_file_path, output_directory)
+    plot.save(result, cfg, env_np, new_rate, original_file_path, output_directory)
+
+    logging.info(f"--- Analysis finished in {time.time() - start:.2f} seconds. ---")
+    return result
+
+
+def analyze_any_file(
+    file_path: str,
+    cfg: AnalyzerConfig = DEFAULT_CONFIG,
+    start_bpm_hint: Optional[float] = None,
+    output_directory: str = "processed_files",
+    pre_filtered: bool = False,
+):
+    """Convert-or-copy then analyze — the per-file body of the reference's
+    batch worker (gui.py:202-245)."""
+    os.makedirs(output_directory, exist_ok=True)
+    base, ext = os.path.splitext(os.path.basename(file_path))
+    if ext.lower() == ".wav":
+        target = os.path.join(output_directory, f"{base}.wav")
+        if os.path.abspath(target) != os.path.abspath(file_path):
+            shutil.copyfile(file_path, target)
+    else:
+        target = os.path.join(output_directory, f"{base}.wav")
+        if not convert_to_wav(file_path, target):
+            raise RuntimeError(f"conversion failed for {file_path}")
+    return analyze_wav_file(target, cfg, start_bpm_hint, file_path, output_directory,
+                            pre_filtered=pre_filtered)

@@ -104,15 +104,18 @@ def _last_above(max_table: jnp.ndarray, v: jnp.ndarray, r: jnp.ndarray) -> jnp.n
         return _range_query(max_table, i, r, jnp.maximum)
 
     none = h(jnp.zeros_like(r)) <= v
-    lo = jnp.zeros_like(r)
-    hi = r
     # Invariant: h(lo) > v (when not `none`); shrink [lo, hi] to a point.
     steps = max(1, n.bit_length())
-    for _ in range(steps):
+
+    def body(_, state):
+        lo, hi = state
         mid = (lo + hi + 1) // 2
         go_right = h(jnp.minimum(mid, r)) > v
         lo = jnp.where(go_right, jnp.minimum(mid, r), lo)
         hi = jnp.where(go_right, hi, mid - 1)
+        return lo, hi
+
+    lo, _ = lax.fori_loop(0, steps, body, (jnp.zeros_like(r), r))
     return jnp.where(none, -1, lo)
 
 
@@ -124,14 +127,17 @@ def _first_above(max_table: jnp.ndarray, v: jnp.ndarray, l: jnp.ndarray) -> jnp.
         return _range_query(max_table, l, i, jnp.maximum)
 
     none = h(jnp.full_like(l, n - 1)) <= v
-    lo = l
-    hi = jnp.full_like(l, n - 1)
     steps = max(1, n.bit_length())
-    for _ in range(steps):
+
+    def body(_, state):
+        lo, hi = state
         mid = (lo + hi) // 2
         go_left = h(jnp.maximum(mid, l)) > v
         hi = jnp.where(go_left, jnp.maximum(mid, l), hi)
         lo = jnp.where(go_left, lo, mid + 1)
+        return lo, hi
+
+    _, hi = lax.fori_loop(0, steps, body, (l, jnp.full_like(l, n - 1)))
     return jnp.where(none, n, hi)
 
 

@@ -6,16 +6,25 @@ import pytest
 from bpm_analysis_tpu.ops import quantile
 
 
+@pytest.mark.parametrize("impl", [quantile.rolling_quantile_centered,
+                                  quantile.rolling_quantile_centered_sort])
 @pytest.mark.parametrize("window,minp,q", [(5, 3, 0.2), (8, 3, 0.2), (51, 3, 0.5), (30, 1, 0.9)])
-def test_rolling_quantile_matches_pandas(window, minp, q):
+def test_rolling_quantile_matches_pandas(impl, window, minp, q):
     rng = np.random.RandomState(0)
     x = rng.rand(400)
     x[rng.rand(400) < 0.3] = np.nan
     expected = pd.Series(x).rolling(window=window, min_periods=minp, center=True).quantile(q).values
-    got = np.asarray(
-        quantile.rolling_quantile_centered(jnp.asarray(x), window, q, minp, chunk=64)
-    )
+    got = np.asarray(impl(jnp.asarray(x), window, q, minp, chunk=64))
     np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+
+
+def test_wavelet_vs_sort_cross_check():
+    rng = np.random.RandomState(7)
+    x = rng.randn(1000) * 100
+    x[rng.rand(1000) < 0.15] = np.nan
+    a = np.asarray(quantile.rolling_quantile_centered(jnp.asarray(x), 73, 0.37, 4))
+    b = np.asarray(quantile.rolling_quantile_centered_sort(jnp.asarray(x), 73, 0.37, 4, chunk=128))
+    np.testing.assert_allclose(a, b, rtol=1e-12, equal_nan=True)
 
 
 def test_bfill_ffill():
