@@ -210,6 +210,11 @@ class RuntimeConfig:
     dtype: str = "float32"
     # Chunk length for the sliding-quantile kernel (outputs per block).
     quantile_chunk: int = 1024
+    # Noise-floor quantile stride: 1 = exact pandas parity (wavelet-tree
+    # rank-select); >1 = strided anchors + linear interpolation (order of
+    # magnitude faster on TPU, negligible accuracy impact for the ~10 s
+    # noise window — see ops/quantile.py).
+    noise_quantile_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

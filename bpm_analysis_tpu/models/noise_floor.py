@@ -63,12 +63,21 @@ def dynamic_noise_floor(
 
     window = int(ncfg.noise_window_sec * sample_rate)
     chunk = cfg.runtime.quantile_chunk
+    stride = cfg.runtime.noise_quantile_stride
+    if stride > 1:
+        def rolling_q(d):
+            return q.rolling_quantile_centered_strided(
+                d, window, ncfg.noise_floor_quantile, min_periods=3,
+                stride=stride, chunk=chunk)
+    else:
+        def rolling_q(d):
+            return q.rolling_quantile_centered(
+                d, window, ncfg.noise_floor_quantile, min_periods=3, chunk=chunk)
 
     # --- draft floor from ALL troughs --------------------------------------
     dense_draft = series.interpolate_dense(t_pos, t_amp, troughs.count, n,
                                            dtype=envelope.dtype)
-    draft = q.rolling_quantile_centered(dense_draft, window, ncfg.noise_floor_quantile,
-                                        min_periods=3, chunk=chunk)
+    draft = rolling_q(dense_draft)
     draft_filled = q.bfill_ffill(draft)
 
     # --- sanitize troughs ---------------------------------------------------
@@ -82,8 +91,7 @@ def dynamic_noise_floor(
     # --- final floor from sanitized troughs --------------------------------
     dense_final = series.interpolate_dense(sane_pos, sane_amp, sane_count, n,
                                            dtype=envelope.dtype)
-    final = q.rolling_quantile_centered(dense_final, window, ncfg.noise_floor_quantile,
-                                        min_periods=3, chunk=chunk)
+    final = rolling_q(dense_final)
     final = q.bfill_ffill(final)
 
     # --- fallback ladder ----------------------------------------------------
