@@ -67,10 +67,17 @@ def measure_tpu() -> float:
         max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
         noise_quantile_stride=8))
 
-    batch = np.stack([synth_recording(s) for s in range(BATCH)])
+    # Same int16 quantization the CPU reference reads from its WAV, and the
+    # same full preprocessing (band-pass filtfilt at the 302 Hz rate —
+    # downsample clamps to 1) so both engines see identical signals.
+    def quantize(sig):
+        peak = np.max(np.abs(sig)) or 1.0
+        return (np.int16(sig / peak * 32767)).astype(np.float32)
+
+    batch = np.stack([quantize(synth_recording(s)) for s in range(BATCH)])
 
     fn = jax.jit(lambda xs: pipeline.analyze_batch(
-        jax.vmap(lambda x: envm.envelope_from_filtered(x, SR))(xs), SR, cfg))
+        jax.vmap(lambda x: envm.preprocess(x, SR, cfg)[0])(xs), SR, cfg))
 
     # Warmup / compile.
     res = fn(jnp.asarray(batch))

@@ -51,7 +51,7 @@ def dynamic_noise_floor(
     cap = cfg.runtime.max_troughs
 
     min_dist = int(cfg.features.min_peak_distance_sec * sample_rate)
-    trough_prom = jnp.quantile(envelope, cfg.features.trough_prominence_quantile)
+    trough_prom = q.quantile_exact(envelope, cfg.features.trough_prominence_quantile)
     troughs = fp.find_peaks(
         -envelope, cap, prominence=trough_prom, distance=min_dist,
         work_capacity=4 * cap,
@@ -96,9 +96,9 @@ def dynamic_noise_floor(
 
     # --- fallback ladder ----------------------------------------------------
     floor = jnp.where(sane_count > 2, final, draft_filled)
-    static_all_nan = jnp.quantile(envelope, ncfg.all_nan_fallback_quantile)
+    static_all_nan = q.quantile_exact(envelope, ncfg.all_nan_fallback_quantile)
     floor = jnp.where(jnp.all(jnp.isnan(floor)), static_all_nan, floor)
-    static_few = jnp.quantile(envelope, ncfg.noise_floor_quantile)
+    static_few = q.quantile_exact(envelope, ncfg.noise_floor_quantile)
     few_troughs = troughs.count < 5
     floor = jnp.where(few_troughs, static_few, floor)
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..config import AnalyzerConfig
 from ..ops import find_peaks as fp
+from ..ops import quantile as quantile_ops
 from ..ops import series
 from .. import types
 from . import analytics, classifier, corrections, noise_floor
@@ -55,7 +56,7 @@ class PipelineResult(NamedTuple):
 def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
               cfg: AnalyzerConfig) -> fp.Peaks:
     """``PeakClassifier._find_raw_peaks`` (bpm_analysis.py:223-229)."""
-    prom = jnp.quantile(envelope, cfg.features.peak_prominence_quantile)
+    prom = quantile_ops.quantile_exact(envelope, cfg.features.peak_prominence_quantile)
     dist = int(cfg.features.min_peak_distance_sec * sample_rate)
     return fp.find_peaks(
         envelope, cfg.runtime.max_raw_peaks, height=floor, prominence=prom,

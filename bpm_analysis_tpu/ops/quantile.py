@@ -85,6 +85,71 @@ def rolling_quantile_centered_sort(
     return out.reshape(padded_n)[:n]
 
 
+def _key_info(dtype):
+    if dtype == jnp.float64:
+        return jnp.uint64, jnp.int64, 64
+    return jnp.uint32, jnp.int32, 32
+
+
+def _sortable_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone float → uint key (IEEE trick: flip all bits of negatives,
+    flip the sign bit of non-negatives)."""
+    utype, itype, nbits = _key_info(x.dtype)
+    bits = lax.bitcast_convert_type(x, itype)
+    sign = itype(-(1 << (nbits - 1)))
+    u = jnp.where(bits < 0, ~bits, bits ^ sign)
+    return u.astype(utype)
+
+
+def _key_to_float(u: jnp.ndarray, dtype) -> jnp.ndarray:
+    utype, itype, nbits = _key_info(dtype)
+    sign_mask = utype(1 << (nbits - 1))
+    bits = jnp.where((u & sign_mask) != 0,
+                     (u ^ sign_mask).astype(itype), (~u).astype(itype))
+    return lax.bitcast_convert_type(bits.astype(itype), dtype)
+
+
+def select_kth(x: jnp.ndarray, valid: jnp.ndarray, k) -> jnp.ndarray:
+    """Exact k-th smallest valid element — radix bisection over the bit
+    planes of the sortable key: 32 (64 for f64) masked-count passes instead
+    of a sort (TPU 1-D sorts are serial and ~500 ms at 100k elements; this
+    is pure vector reductions).  ``k`` must be < number of valid elements."""
+    utype, _, nbits = _key_info(x.dtype)
+    keys = jnp.where(valid, _sortable_key(x), utype((1 << nbits) - 1))
+    k = jnp.asarray(k, jnp.int32)
+
+    def body(i, state):
+        prefix, k = state
+        b = (nbits - 1 - i).astype(utype)
+        bit = (utype(1) << b).astype(utype)
+        high_mask = (~((bit << utype(1)) - utype(1))).astype(utype)
+        cand = (keys & high_mask) == (prefix & high_mask)
+        c0 = jnp.sum((cand & ((keys & bit) == 0)).astype(jnp.int32))
+        take1 = k >= c0
+        k = jnp.where(take1, k - c0, k).astype(jnp.int32)
+        prefix = jnp.where(take1, prefix | bit, prefix).astype(utype)
+        return prefix, k
+
+    prefix, _ = lax.fori_loop(0, nbits, body, (utype(0), k))
+    return _key_to_float(prefix, x.dtype)
+
+
+def quantile_exact(x: jnp.ndarray, q: float, valid=None) -> jnp.ndarray:
+    """``np.quantile(x[valid], q)`` (linear interpolation) without sorting —
+    two radix selections."""
+    if valid is None:
+        valid = ~jnp.isnan(x)
+    n = jnp.sum(valid.astype(jnp.int32))
+    pos = jnp.asarray(q, x.dtype) * jnp.maximum(n - 1, 0).astype(x.dtype)
+    k_lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, jnp.maximum(n - 1, 0))
+    k_hi = jnp.minimum(k_lo + 1, jnp.maximum(n - 1, 0))
+    frac = pos - k_lo.astype(x.dtype)
+    v_lo = select_kth(x, valid, k_lo)
+    v_hi = select_kth(x, valid, k_hi)
+    out = jnp.where(frac > 0, v_lo + frac * (v_hi - v_lo), v_lo)
+    return jnp.where(n > 0, out, jnp.nan).astype(x.dtype)
+
+
 def _build_wavelet_levels(x: jnp.ndarray):
     """Build a wavelet tree over the ranks of ``x`` (NaN → +inf ranks).
 

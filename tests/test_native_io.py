@@ -1,0 +1,61 @@
+"""Native C++ WAV decoder vs the pure-numpy decoder and scipy."""
+import numpy as np
+import pytest
+
+from bpm_analysis_tpu.io import native, wav as pywav
+
+
+@pytest.fixture(scope="module")
+def built():
+    if not native.available():
+        pytest.skip("native library unavailable (no compiler?)")
+
+
+def test_decode_matches_numpy_int16(built, tmp_path):
+    rng = np.random.RandomState(0)
+    sig = (rng.randn(5000) * 10000).astype(np.int16)
+    path = str(tmp_path / "a.wav")
+    pywav.write(path, 302, sig)
+    sr, mono = native.decode_mono_f32(path, 10000)
+    assert sr == 302
+    np.testing.assert_allclose(mono, sig.astype(np.float32))
+
+
+def test_decode_matches_numpy_stereo_float(built, tmp_path):
+    rng = np.random.RandomState(1)
+    sig = rng.randn(1000, 2).astype(np.float32)
+    path = str(tmp_path / "b.wav")
+    pywav.write(path, 44100, sig)
+    sr, mono = native.decode_mono_f32(path, 10000)
+    assert sr == 44100
+    np.testing.assert_allclose(mono, sig.mean(axis=1), rtol=1e-6)
+
+
+def test_decode_matches_scipy_on_vulpine(built):
+    from scipy.io import wavfile
+
+    path = "/root/reference/samples/vulpine_filtered_debug.wav"
+    sr_ref, data_ref = wavfile.read(path)
+    sr, mono = native.decode_mono_f32(path, 200000)
+    assert sr == sr_ref
+    np.testing.assert_allclose(mono, data_ref.astype(np.float32))
+
+
+def test_batch_decode_parallel(built, tmp_path):
+    rng = np.random.RandomState(2)
+    paths = []
+    sigs = []
+    for i in range(8):
+        sig = (rng.randn(1000 + i * 100) * 1000).astype(np.int16)
+        p = str(tmp_path / f"r{i}.wav")
+        pywav.write(p, 302, sig)
+        paths.append(p)
+        sigs.append(sig)
+    paths.append(str(tmp_path / "missing.wav"))  # failure isolation
+    buf, rates, lengths = native.decode_batch_f32(paths, 2000)
+    for i, sig in enumerate(sigs):
+        n = min(len(sig), 2000)
+        assert lengths[i] == n
+        np.testing.assert_allclose(buf[i, :n], sig[:n].astype(np.float32))
+        assert np.all(buf[i, n:] == 0)
+    assert lengths[-1] == 0
