@@ -167,6 +167,8 @@ def classify(
         rec_hi = jnp.asarray(0.0, dtype)
         rec_valid = jnp.asarray(False)
 
+    kickstart = cfg.compat.kickstart_effective
+
     class Carry(NamedTuple):
         pending_s2: jnp.ndarray
         belief: jnp.ndarray
@@ -176,6 +178,14 @@ def classify(
         cand_count: jnp.ndarray
         ring: jnp.ndarray          # (hist,) bool — paired flags, newest last
         rejections: jnp.ndarray    # consecutive rhythm rejections
+        # kick-start bookkeeping (compat.kickstart_effective only; the
+        # reference's mechanism writes an override that is never read,
+        # bpm_analysis.py:132-168 — these model the *documented* behavior):
+        # last-4 candidates: was it a lone S1, and was the raw peak right
+        # after it classified noise?
+        ks_lone: jnp.ndarray       # (4,) bool
+        ks_next_noise: jnp.ndarray  # (4,) bool
+        ks_prev_was_lone: jnp.ndarray
 
     def step(carry: Carry, xs):
         (slot, pos, pos_next, envv, env_next, strength, strength_next, dev, t_sec) = xs
@@ -186,6 +196,17 @@ def classify(
         # ---- pairing ratio (bpm_analysis.py:179-186) ----------------------
         ring_mean = jnp.mean(carry.ring.astype(dtype))
         pairing_ratio = jnp.where(carry.cand_count < hist, jnp.asarray(0.5, dtype), ring_mean)
+        if kickstart:
+            # Documented kick-start (README.md:9, _kickstart_check
+            # bpm_analysis.py:132-168): when the pairing ratio has collapsed
+            # and >= 3 of the last 4 candidates are lone S1s each followed by
+            # a Noise peak, pair with the override ratio instead.
+            matches = jnp.sum((carry.ks_lone & carry.ks_next_noise).astype(jnp.int32))
+            lones = jnp.sum(carry.ks_lone.astype(jnp.int32))
+            fire = ((pairing_ratio < p.kickstart_check_threshold)
+                    & (carry.cand_count >= 4) & (lones >= 3) & (matches >= 3))
+            pairing_ratio = jnp.where(
+                fire, jnp.asarray(p.kickstart_override_ratio, dtype), pairing_ratio)
 
         # ---- pair attempt (bpm_analysis.py:231-272) -----------------------
         interval_sec = (pos_next - pos).astype(dtype) / sr
@@ -349,6 +370,25 @@ def classify(
         )
 
         next_pending = processed & ~is_last & paired
+        if kickstart:
+            appended_lone = appended & ~appended_paired_flag
+            is_noise_step = processed & ~is_last & ~paired & ~lone_valid & ~cascade
+            # A noise peak immediately following a lone-S1 candidate marks
+            # that candidate's ring entry.
+            marked = jnp.where(
+                is_noise_step & carry.ks_prev_was_lone,
+                carry.ks_next_noise.at[-1].set(True), carry.ks_next_noise)
+            ks_lone = jnp.where(
+                appended, jnp.concatenate([carry.ks_lone[1:], appended_lone[None]]),
+                carry.ks_lone)
+            ks_next_noise = jnp.where(
+                appended, jnp.concatenate([marked[1:], jnp.array([False])]), marked)
+            ks_prev_was_lone = jnp.where(processed, appended_lone,
+                                         carry.ks_prev_was_lone)
+        else:
+            ks_lone = carry.ks_lone
+            ks_next_noise = carry.ks_next_noise
+            ks_prev_was_lone = carry.ks_prev_was_lone
         new_carry = Carry(
             pending_s2=next_pending,
             belief=new_belief,
@@ -358,6 +398,9 @@ def classify(
             cand_count=new_count,
             ring=new_ring,
             rejections=new_rej,
+            ks_lone=ks_lone,
+            ks_next_noise=ks_next_noise,
+            ks_prev_was_lone=ks_prev_was_lone,
         )
         return new_carry, trace
 
@@ -375,6 +418,9 @@ def classify(
         cand_count=jnp.asarray(0, jnp.int32),
         ring=jnp.zeros((hist,), jnp.bool_),
         rejections=jnp.asarray(0, jnp.int32),
+        ks_lone=jnp.zeros((4,), jnp.bool_),
+        ks_next_noise=jnp.zeros((4,), jnp.bool_),
+        ks_prev_was_lone=jnp.asarray(False),
     )
     xs = (slots, positions.astype(jnp.int32), pos_next.astype(jnp.int32),
           env_at, env_next, strengths, strength_next, dev_at_slot, times)

@@ -109,14 +109,18 @@ def lfilter(b: np.ndarray, a: np.ndarray, x: jnp.ndarray, zi: jnp.ndarray) -> jn
     Ms = jnp.broadcast_to(A, (n, m, m))
     vs = x[:, None] * B[None, :]
 
+    # precision='highest': TPU matmuls default to bf16 multiplies, which is
+    # catastrophic inside a recursive filter (errors re-amplify every
+    # composition step) — float32 classification parity requires full-
+    # precision 4x4 products here.
     def combine(e1, e2):
         M1, v1 = e1
         M2, v2 = e2
-        return (jnp.einsum("...ij,...jk->...ik", M2, M1),
-                jnp.einsum("...ij,...j->...i", M2, v1) + v2)
+        return (jnp.einsum("...ij,...jk->...ik", M2, M1, precision="highest"),
+                jnp.einsum("...ij,...j->...i", M2, v1, precision="highest") + v2)
 
     cumM, cumv = lax.associative_scan(combine, (Ms, vs))
-    s = jnp.einsum("nij,j->ni", cumM, zi.astype(dtype)) + cumv  # s[n]
+    s = jnp.einsum("nij,j->ni", cumM, zi.astype(dtype), precision="highest") + cumv
     s_prev = jnp.concatenate([zi.astype(dtype)[None, :], s[:-1]], axis=0)
     return jnp.asarray(b0, dtype) * x + s_prev[:, 0]
 
