@@ -63,11 +63,14 @@ def preprocess(
     order = cfg.preprocess.bandpass_order
 
     if cfg.compat.antialias_decimation:
-        # North-star path: band-pass at the native rate (the 150 Hz low-pass
-        # side doubles as the anti-alias filter), then decimate.
-        filtered_native = bandpass_filtfilt(audio, sample_rate, low, high, order)
-        filtered = filtered_native[::factor] if factor > 1 else filtered_native
+        # North-star path: FIR anti-alias decimation (strided windowed-sinc
+        # convolution), then the IIR band-pass at the decimated rate where
+        # its poles are well-conditioned (see ops.filter.fir_decimate).
+        from ..ops.filter import fir_decimate
+
+        decimated = fir_decimate(audio, factor)
         new_rate = sample_rate // factor if factor > 1 else sample_rate
+        filtered = bandpass_filtfilt(decimated, new_rate, low, high, order)
     else:
         # Compat path: stride-decimate first (aliases above the new Nyquist
         # fold in — reproducing bpm_analysis.py:1031-1045 exactly).

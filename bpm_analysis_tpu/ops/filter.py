@@ -144,3 +144,38 @@ def bandpass_filtfilt(x: jnp.ndarray, fs: float, low_hz: float, high_hz: float,
                       order: int = 2) -> jnp.ndarray:
     b, a = butter_bandpass(order, low_hz, high_hz, fs)
     return filtfilt(b, a, x)
+
+
+def fir_decimate(x: jnp.ndarray, factor: int, taps_per_phase: int = 8) -> jnp.ndarray:
+    """Anti-aliased decimation: Hann-windowed-sinc low-pass at 90% of the
+    new Nyquist, evaluated only at the kept samples (a strided convolution —
+    the TPU-native way to decimate, in contrast to the reference's bare
+    stride slicing which folds aliases into the band,
+    bpm_analysis.py:1031-1033).
+
+    Running a *recursive* band-pass at a 44.1 kHz native rate is numerically
+    infeasible in float32 (the 20-150 Hz poles sit ~1e-4 inside the unit
+    circle and the companion-matrix transients overflow), so the north-star
+    preprocessing path decimates with this FIR first and applies the IIR
+    band-pass at the decimated rate where it is well-conditioned.
+    """
+    if factor <= 1:
+        return x
+    half = taps_per_phase * factor // 2
+    n_taps = 2 * half + 1
+    t = np.arange(n_taps) - half
+    cutoff = 0.9 / factor  # fraction of the *input* Nyquist
+    h = np.sinc(cutoff * t) * cutoff
+    h *= np.hanning(n_taps)
+    h /= h.sum()
+    kernel = jnp.asarray(h, x.dtype)
+
+    n = x.shape[0]
+    out_len = -(-n // factor)
+    xp = jnp.pad(x, (half, half + factor * out_len - n + half))
+    res = lax.conv_general_dilated(
+        xp[None, None, :], kernel[None, None, :],
+        window_strides=(factor,), padding="VALID",
+        precision=lax.Precision.HIGHEST,
+    )[0, 0]
+    return res[:out_len]
