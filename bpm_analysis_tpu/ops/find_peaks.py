@@ -179,16 +179,28 @@ def _select_by_distance(
     # first; among equal priorities the later (larger-index) peak first.
     order = jnp.flip(jnp.argsort(prio, stable=True))
     posf = positions.astype(jnp.float32)
+    slots = jnp.arange(cap)
 
-    def step(keep, j):
-        active = keep[j] & valid[j]
-        within = jnp.abs(posf - posf[j]) < dist
-        within = within & (jnp.arange(cap) != j)
-        keep = jnp.where(active, keep & ~within, keep)
+    # Scan-step overhead dominates at large capacities (one tiny vector op
+    # per peak), so process BLOCK peaks per scan step with an unrolled inner
+    # loop — identical greedy semantics, 8x fewer sequential steps.
+    BLOCK = 8
+    pad = (-cap) % BLOCK
+    order_p = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+    jvalid = jnp.concatenate([jnp.ones((cap,), jnp.bool_),
+                              jnp.zeros((pad,), jnp.bool_)])
+    blocks = (order_p.reshape(-1, BLOCK), jvalid.reshape(-1, BLOCK))
+
+    def step(keep, xs):
+        js, jv = xs
+        for i in range(BLOCK):
+            j = js[i]
+            active = keep[j] & valid[j] & jv[i]
+            within = (jnp.abs(posf - posf[j]) < dist) & (slots != j)
+            keep = jnp.where(active, keep & ~within, keep)
         return keep, ()
 
-    keep0 = valid
-    keep, _ = lax.scan(step, keep0, order)
+    keep, _ = lax.scan(step, valid, blocks)
     return keep & valid
 
 
