@@ -65,7 +65,7 @@ def measure_tpu() -> float:
 
     cfg = AnalyzerConfig(runtime=RuntimeConfig(
         max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
-        noise_quantile_stride=8))
+        noise_quantile_stride=64, quantile_backend="xla"))
 
     # Same int16 quantization the CPU reference reads from its WAV, and the
     # same full preprocessing (band-pass filtfilt at the 302 Hz rate —

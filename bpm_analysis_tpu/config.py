@@ -212,9 +212,13 @@ class RuntimeConfig:
     quantile_chunk: int = 1024
     # Noise-floor quantile stride: 1 = exact pandas parity (wavelet-tree
     # rank-select); >1 = strided anchors + linear interpolation (order of
-    # magnitude faster on TPU, negligible accuracy impact for the ~10 s
-    # noise window — see ops/quantile.py).
+    # magnitude faster on TPU; beat F1 vs the exact floor stays 1.0 on the
+    # golden recording up to stride 128 — see ops/quantile.py).
     noise_quantile_stride: int = 1
+    # Strided-quantile backend: "auto" = Pallas kernel on TPU, XLA
+    # elsewhere; "xla" / "pallas" force.  Only applies when stride > 1 and
+    # stride divides 128.
+    quantile_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

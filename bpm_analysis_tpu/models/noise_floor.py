@@ -64,7 +64,17 @@ def dynamic_noise_floor(
     window = int(ncfg.noise_window_sec * sample_rate)
     chunk = cfg.runtime.quantile_chunk
     stride = cfg.runtime.noise_quantile_stride
-    if stride > 1:
+    backend = cfg.runtime.quantile_backend
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if stride > 1 and backend == "pallas" and 128 % stride == 0:
+        from ..ops.pallas.quantile_kernel import make_vmappable_rolling_quantile
+
+        rolling_q = make_vmappable_rolling_quantile(
+            window, ncfg.noise_floor_quantile, 3, stride)
+    elif stride > 1:
         def rolling_q(d):
             return q.rolling_quantile_centered_strided(
                 d, window, ncfg.noise_floor_quantile, min_periods=3,

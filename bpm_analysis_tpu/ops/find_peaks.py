@@ -59,14 +59,15 @@ def local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _compact_mask(mask: jnp.ndarray, capacity: int) -> Peaks:
+    """Stable compaction of mask indices via rank-scatter (a cumsum + one
+    scatter) — sorting an n-length key array is ~500 ms at n≈200k on TPU."""
     n = mask.shape[0]
-    idx = jnp.arange(n)
-    key = jnp.where(mask, idx, n)
-    if capacity > n:
-        key = jnp.concatenate([key, jnp.full((capacity - n,), n, key.dtype)])
-    pos = jnp.sort(key)[:capacity].astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    write = jnp.where(mask & (rank < capacity), rank, capacity)
+    out = jnp.full((capacity + 1,), n, jnp.int32).at[write].set(idx, mode="drop")
     count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
-    return Peaks(pos, count)
+    return Peaks(out[:capacity], count)
 
 
 def _sparse_table(x: jnp.ndarray, op) -> jnp.ndarray:
@@ -184,7 +185,7 @@ def _select_by_distance(
     # Scan-step overhead dominates at large capacities (one tiny vector op
     # per peak), so process BLOCK peaks per scan step with an unrolled inner
     # loop — identical greedy semantics, 8x fewer sequential steps.
-    BLOCK = 8
+    BLOCK = 32
     pad = (-cap) % BLOCK
     order_p = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
     jvalid = jnp.concatenate([jnp.ones((cap,), jnp.bool_),
@@ -257,7 +258,8 @@ def find_peaks(
 
 def _recompact(pos: jnp.ndarray, keep: jnp.ndarray, n: int):
     cap = pos.shape[0]
-    key = jnp.where(keep, pos, n)
-    out = jnp.sort(key)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    write = jnp.where(keep, rank, cap)
+    out = jnp.full((cap + 1,), n, pos.dtype).at[write].set(pos)[:cap]
     count = jnp.sum(keep.astype(jnp.int32))
     return out, count

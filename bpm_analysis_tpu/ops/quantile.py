@@ -367,28 +367,31 @@ def rolling_quantile_centered_strided(
         return jnp.where(counts >= min_periods, res, jnp.nan)
 
     anchors = lax.map(one_chunk, jnp.arange(n_chunks)).reshape(padded_anchors)
+    return interp_anchors(anchors[:n_anchor], n, stride, dtype)
 
-    # Linear interpolation between anchors (NaN anchors propagate to their
-    # span, matching the coarse min_periods cut).
-    idx = jnp.arange(n)
-    j = idx // stride
-    j1 = jnp.minimum(j + 1, n_anchor - 1)
-    frac = (idx - j * stride).astype(dtype) / stride
-    a0 = anchors[j]
-    a1 = anchors[j1]
-    out = jnp.where(frac > 0, a0 + frac * (a1 - a0), a0)
-    return out.astype(dtype)
+
+def interp_anchors(anchors: jnp.ndarray, n: int, stride: int, dtype) -> jnp.ndarray:
+    """Expand per-stride anchors to the dense grid by linear interpolation —
+    broadcast/reshape only (a gather of (n,) indices is pathologically slow
+    on TPU).  NaN anchors propagate to their span."""
+    n_anchor = anchors.shape[-1]
+    nxt = jnp.concatenate([anchors[..., 1:], anchors[..., -1:]], axis=-1)
+    frac = (jnp.arange(stride).astype(dtype) / stride)
+    a0 = anchors[..., :, None]
+    a1 = nxt[..., :, None]
+    dense = jnp.where(frac > 0, a0 + frac * (a1 - a0), a0)
+    dense = dense.reshape(*anchors.shape[:-1], n_anchor * stride)
+    return dense[..., :n].astype(dtype)
 
 
 def bfill_ffill(x: jnp.ndarray) -> jnp.ndarray:
     """pandas ``.bfill().ffill()``: back-fill NaNs from the next valid value,
-    then forward-fill any remaining trailing NaNs (bpm_analysis.py:1086)."""
-    n = x.shape[0]
-    idx = jnp.arange(n)
+    then forward-fill any remaining trailing NaNs (bpm_analysis.py:1086).
+    Pure associative scans — no index gathers."""
+    from .series import _bfill_pairs, _ffill_pairs
+
     valid = ~jnp.isnan(x)
-    # next valid index at or after i (reverse cummin)
-    nxt = jnp.flip(lax.cummin(jnp.flip(jnp.where(valid, idx, n))))
-    bf = jnp.where(nxt < n, x[jnp.minimum(nxt, n - 1)], jnp.nan)
-    valid2 = ~jnp.isnan(bf)
-    prv = lax.cummax(jnp.where(valid2, idx, -1))
-    return jnp.where(prv >= 0, bf[jnp.maximum(prv, 0)], jnp.nan)
+    xz = jnp.where(valid, x, 0)
+    bv, bhas = _bfill_pairs(xz, valid)
+    fv, fhas = _ffill_pairs(jnp.where(bhas, bv, 0), bhas)
+    return jnp.where(fhas, fv, jnp.nan)

@@ -10,6 +10,29 @@ validity masks.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
+
+
+def _ffill_pairs(value: jnp.ndarray, valid: jnp.ndarray):
+    """Forward-fill (value, valid) with one associative scan — the TPU-cheap
+    replacement for gather-by-last-valid-index patterns."""
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    return lax.associative_scan(combine, (value, valid))
+
+
+def _bfill_pairs(value: jnp.ndarray, valid: jnp.ndarray):
+    # Same "prefer the element nearest to the output position" combine as
+    # the forward fill — reverse=True handles the direction.
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    return lax.associative_scan(combine, (value, valid), reverse=True)
 
 
 def compact_valid(idx: jnp.ndarray, valid: jnp.ndarray, fill: int):
@@ -44,23 +67,29 @@ def interpolate_dense(
     """
     cap = knot_pos.shape[0]
     slot = jnp.arange(cap)
-    big = jnp.iinfo(jnp.int32).max
-    pos = jnp.where(slot < count, knot_pos, big)
-    val = jnp.where(slot < count, knot_val, 0).astype(dtype)
+    kvalid = slot < count
+    pos = jnp.where(kvalid, jnp.clip(knot_pos, 0, n - 1), 0)
+    val = jnp.where(kvalid, knot_val, 0).astype(dtype)
 
+    # Scatter knots onto the dense grid, then forward/backward-fill both the
+    # positions and the values with associative scans — no searchsorted, no
+    # large gathers (both are pathologically slow on TPU at 100k+ scale).
     grid = jnp.arange(n)
-    # j = index of last knot with pos <= i  (-1 if none)
-    j = jnp.searchsorted(pos, grid, side="right") - 1
-    j0 = jnp.clip(j, 0, jnp.maximum(count - 1, 0))
-    j1 = jnp.clip(j + 1, 0, jnp.maximum(count - 1, 0))
-    p0, p1 = pos[j0], pos[j1]
-    v0, v1 = val[j0], val[j1]
+    pos_w = jnp.where(kvalid, pos, n)  # out-of-bounds for padded slots
+    dense_val = jnp.zeros((n,), dtype).at[pos_w].set(val, mode="drop")
+    dense_has = jnp.zeros((n,), jnp.bool_).at[pos_w].set(True, mode="drop")
+    dense_pos = jnp.where(dense_has, grid, 0)
+
+    v0, has0 = _ffill_pairs(dense_val, dense_has)
+    p0, _ = _ffill_pairs(dense_pos, dense_has)
+    v1, has1 = _bfill_pairs(dense_val, dense_has)
+    p1, _ = _bfill_pairs(dense_pos, dense_has)
+
     denom = jnp.maximum(p1 - p0, 1).astype(dtype)
     frac = (grid - p0).astype(dtype) / denom
     interp = v0 + frac * (v1 - v0)
-    # After the last knot: hold last value.  Before the first: NaN.
-    out = jnp.where(j >= count - 1, val[jnp.maximum(count - 1, 0)], interp)
-    out = jnp.where(j < 0, jnp.nan, out)
+    out = jnp.where(has1, interp, v0)        # past the last knot: hold value
+    out = jnp.where(has0, out, jnp.nan)      # before the first knot: NaN
     out = jnp.where(count > 0, out, jnp.nan)
     return out
 
