@@ -43,7 +43,7 @@ def test_analyze_wav_file_produces_artifact_set(tmp_path):
 
 def test_analyze_too_short_returns_none(tmp_path):
     src = str(tmp_path / "tiny.wav")
-    wav.write(src, SR, np.int16(np.ones(SR) * 100))
+    wav.write(src, SR, np.zeros(SR, np.int16))
     result = host.analyze_wav_file(src, DEFAULT_CONFIG, None, output_directory=str(tmp_path))
     assert result is None
     # Settings are still persisted (reference saves them regardless).
