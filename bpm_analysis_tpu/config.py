@@ -191,9 +191,12 @@ class CompatConfig:
     # (bpm_analysis.py:168).  True = actually apply the documented override.
     kickstart_effective: bool = False
     # Reference calculate_hrr feeds integer-truncated epoch seconds to
-    # np.interp (bpm_analysis.py:1606), making HRR depend on pandas/TZ
-    # environment.  We always use exact float seconds (there is no single
-    # reproducible "compat" value; see tests/test_analytics.py).
+    # np.interp (bpm_analysis.py:1606): the beat times are floored to whole
+    # seconds (the timezone offset of datetime.fromtimestamp(0) cancels for
+    # whole-second offsets) while the query stays float.  True (default)
+    # reproduces the golden 58.9 HRR on vulpine; False uses the clean exact
+    # float-second interpolation (61.2 on the same curve).
+    hrr_truncated_interp: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

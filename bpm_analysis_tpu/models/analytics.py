@@ -12,12 +12,13 @@ vmappable.  The reference's O(n²) "steepest fixed-window slope" searches
 the window end is the first sample ≥ 20 s ahead, the extremum is the first
 strict max/min, matching the Python loop's strict comparisons).
 
-Known reference quirk NOT reproduced: ``calculate_hrr`` feeds
-integer-truncated epoch seconds with duplicate x-values into ``np.interp``
-(:1606), making its result depend on the pandas/timezone environment (the
-shipped vulpine summary says 58.9; a clean interpolation of the same golden
-curve gives 61.2).  We use exact float seconds — the only defensible
-semantic (see tests/test_analytics.py).
+Reference quirk reproduced behind ``compat.hrr_truncated_interp`` (default
+True): ``calculate_hrr`` feeds integer-truncated epoch seconds with
+duplicate x-values into ``np.interp`` (:1606) — equivalent to flooring the
+beat times to whole seconds (whole-second timezone offsets cancel).  The
+shipped vulpine summary value 58.9 requires the floor; a clean float-second
+interpolation of the same golden curve gives 61.2 (flag False; see
+tests/test_analytics.py).
 """
 from __future__ import annotations
 
@@ -235,7 +236,12 @@ def major_slopes(bpm: BpmSeries, cfg: AnalyzerConfig, declines: bool,
 
 
 def hrr(bpm: BpmSeries, cfg: AnalyzerConfig) -> HrrStats:
-    """1-minute heart-rate recovery (bpm_analysis.py:1597-1610), clean
+    """1-minute heart-rate recovery (bpm_analysis.py:1597-1610).
+
+    With ``compat.hrr_truncated_interp`` (default) the interpolation
+    x-coordinates are the beat times floored to whole seconds, reproducing
+    the reference's integer-truncated epoch-second ``np.interp`` call
+    (:1606) and the golden vulpine value of 58.9; otherwise clean
     float-second interpolation (see module docstring)."""
     cap = bpm.times.shape[0]
     valid = jnp.arange(cap) < bpm.count
@@ -248,6 +254,8 @@ def hrr(bpm: BpmSeries, cfg: AnalyzerConfig) -> HrrStats:
     last_t = t[jnp.maximum(bpm.count - 1, 0)]
     found = (bpm.count >= 2) & (check_time <= last_t)
     tq = jnp.where(valid, bpm.times, last_t)
+    if cfg.compat.hrr_truncated_interp:
+        tq = jnp.floor(tq)
     vq = jnp.where(valid, bpm.smoothed, v[jnp.maximum(bpm.count - 1, 0)])
     recovery_bpm = jnp.interp(check_time, tq, vq)
     return HrrStats(found=found, peak_bpm=peak_bpm, peak_time=peak_time,

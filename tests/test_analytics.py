@@ -66,12 +66,27 @@ def test_slopes_match_oracle(oracle):
     )
 
 
-def test_hrr_clean_semantics(oracle):
-    """The reference's calculate_hrr output is environment-dependent
-    (int-truncated epoch seconds into np.interp, bpm_analysis.py:1606); our
-    clean float-second semantics must match direct interpolation of the
-    golden curve."""
+def test_hrr_compat_truncated_interp(oracle):
+    """Default compat mode reproduces the reference's int-truncated
+    epoch-second np.interp (bpm_analysis.py:1606): x-coordinates floored to
+    whole seconds.  On the golden curve this is the shipped 58.9 value."""
     m = _metrics(oracle)
+    t = oracle["bpm_times"]
+    b = oracle["smoothed_bpm"]
+    imax = np.argmax(b)
+    expected = b[imax] - np.interp(t[imax] + 60.0, np.floor(t), b)
+    assert bool(m.hrr.found)
+    np.testing.assert_allclose(float(m.hrr.hrr), expected, rtol=1e-9)
+    assert abs(float(m.hrr.hrr) - 58.9) < 0.05  # golden summary value
+
+
+def test_hrr_clean_semantics(oracle):
+    """With the compat flag off, clean float-second interpolation."""
+    import dataclasses
+
+    cfg = DEFAULT_CONFIG.replace(
+        compat=dataclasses.replace(DEFAULT_CONFIG.compat, hrr_truncated_interp=False))
+    m = _metrics(oracle, cfg)
     t = oracle["bpm_times"]
     b = oracle["smoothed_bpm"]
     imax = np.argmax(b)

@@ -98,7 +98,4 @@ def test_summary_parity(result):
     ours = [l for l in text.splitlines() if not l.startswith("*Generated on")]
     with open(os.path.join(GOLDEN_DIR, "vulpine_Analysis_Summary.md")) as f:
         golden = [l for l in f.read().splitlines() if not l.startswith("*Generated on")]
-    # The HRR line differs by design (reference bug, see analytics docstring).
-    ours = [l for l in ours if "1-Minute HRR" not in l]
-    golden = [l for l in golden if "1-Minute HRR" not in l]
     assert ours == golden
