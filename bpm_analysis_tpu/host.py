@@ -92,6 +92,14 @@ def analyze_wav_file(
     base = os.path.basename(os.path.splitext(original_file_path)[0])
     settings.save(output_directory, base, start_bpm_hint)
 
+    if bool(result.overflowed):
+        raise RuntimeError(
+            f"{os.path.basename(original_file_path)}: analysis capacity "
+            "overflow — a fixed-size buffer (RuntimeConfig.max_raw_peaks/"
+            "max_troughs/max_candidates) truncated detected events and the "
+            "output would silently omit beats. Re-run with larger capacities."
+        )
+
     if not bool(result.ok):
         logging.warning("Not enough S1 peaks detected to generate full report.")
         return None

@@ -90,6 +90,7 @@ class ClassifierResult(NamedTuple):
     s1_count: jnp.ndarray          # () int32
     trace: ClassifierTrace
     smoothed_deviation: jnp.ndarray  # (capacity-1 slots worth, padded)
+    s1_overflowed: jnp.ndarray     # () bool: max_candidates truncated the beats
 
 
 def _interp(x, xp, fp_, dtype):
@@ -435,11 +436,13 @@ def classify(
     if ccap > cap:
         key = jnp.concatenate([key, jnp.full((ccap - cap,), n, key.dtype)])
     s1_positions = jnp.sort(key)[:ccap].astype(jnp.int32)
-    s1_count = jnp.minimum(jnp.sum(is_beat.astype(jnp.int32)), ccap)
+    n_beats = jnp.sum(is_beat.astype(jnp.int32))
+    s1_count = jnp.minimum(n_beats, ccap)
 
     return ClassifierResult(
         s1_positions=s1_positions,
         s1_count=s1_count,
         trace=trace,
         smoothed_deviation=smoothed_dev,
+        s1_overflowed=n_beats > ccap,
     )

@@ -46,6 +46,7 @@ class CorrectionResult(NamedTuple):
     count: jnp.ndarray
     classes: jnp.ndarray         # (max_raw_peaks,) int32 updated classes
     precorrection_classes: jnp.ndarray  # classes before any gap promotion
+    overflowed: jnp.ndarray      # () bool: max_candidates truncated a merge
 
 
 def rhythm_correction(
@@ -173,7 +174,9 @@ def _fix_iteration(
     add_pos = jnp.where(promote_mask_s1, rpos, n)
     merged = jnp.sort(jnp.concatenate([pos, add_pos]))[:cap]
     merged_count = s1_count + n_promoted
-    # NOTE: capacity overflow drops the tail (documented).
+    # Capacity overflow drops the tail — surfaced via the returned flag.
+    overflowed = active & (merged_count > cap)
+    merged_count = jnp.minimum(merged_count, cap)
 
     # ---- pass 2: remove the weaker of too-close adjacent beats ------------
     mslot = jnp.arange(cap)
@@ -207,7 +210,7 @@ def _fix_iteration(
     out_pos = jnp.where(active, out_pos, s1_pos)
     out_count = jnp.where(active, out_count, s1_count).astype(jnp.int32)
     return (out_pos.astype(jnp.int32), out_count, noise_flag,
-            classes.astype(jnp.int32), corrections)
+            classes.astype(jnp.int32), corrections, overflowed)
 
 
 def rr_padded(rr, cap):
@@ -227,7 +230,8 @@ def refine_and_correct(
     classes = jnp.asarray(classes, jnp.int32)
     precorrection = classes
     if not cfg.correction.enable_correction_pass:
-        return CorrectionResult(s1_pos, s1_count, classes, precorrection)
+        return CorrectionResult(s1_pos, s1_count, classes, precorrection,
+                                jnp.asarray(False))
 
     pos, count = rhythm_correction(s1_pos, s1_count, envelope, sample_rate, cfg)
 
@@ -235,20 +239,23 @@ def refine_and_correct(
     noise_flag = classes == types.NOISE
 
     def body(i, state):
-        pos, count, noise_flag, classes, still_active = state
-        new_pos, new_count, new_flag, new_classes, corrections = _fix_iteration(
-            pos, count, raw_pos, raw_count, noise_flag, classes,
-            envelope, floor, sample_rate, cfg,
-        )
+        pos, count, noise_flag, classes, still_active, ovf = state
+        new_pos, new_count, new_flag, new_classes, corrections, new_ovf = (
+            _fix_iteration(
+                pos, count, raw_pos, raw_count, noise_flag, classes,
+                envelope, floor, sample_rate, cfg,
+            ))
         take = still_active
         pos = jnp.where(take, new_pos, pos)
         count = jnp.where(take, new_count, count)
         classes = jnp.where(take, new_classes, classes)
         noise_flag = jnp.where(take, new_flag, noise_flag)
+        ovf = ovf | (take & new_ovf)
         still_active = still_active & (corrections > 0)
-        return (pos, count, noise_flag, classes, still_active)
+        return (pos, count, noise_flag, classes, still_active, ovf)
 
-    state = (pos, count, noise_flag, classes, jnp.asarray(True))
+    state = (pos, count, noise_flag, classes, jnp.asarray(True),
+             jnp.asarray(False))
     state = lax.fori_loop(0, cfg.correction.max_iterations, body, state)
-    pos, count, _, classes, _ = state
-    return CorrectionResult(pos, count, classes, precorrection)
+    pos, count, _, classes, _, overflowed = state
+    return CorrectionResult(pos, count, classes, precorrection, overflowed)

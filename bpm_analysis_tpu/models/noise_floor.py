@@ -41,6 +41,7 @@ class NoiseFloorResult(NamedTuple):
     trough_count: jnp.ndarray      # () int32
     raw_trough_positions: jnp.ndarray
     raw_trough_count: jnp.ndarray
+    overflowed: jnp.ndarray        # () bool: max_troughs truncated the set
 
 
 def dynamic_noise_floor(
@@ -122,4 +123,5 @@ def dynamic_noise_floor(
         trough_count=out_count,
         raw_trough_positions=troughs.positions,
         raw_trough_count=troughs.count,
+        overflowed=troughs.overflowed,
     )

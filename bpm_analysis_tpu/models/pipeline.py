@@ -51,6 +51,10 @@ class PipelineResult(NamedTuple):
     final_count: jnp.ndarray
     metrics: analytics.Metrics
     ok: jnp.ndarray                 # >= 2 final peaks (reference returns None otherwise)
+    overflowed: jnp.ndarray         # () bool: some fixed capacity truncated data
+                                    # (max_raw_peaks/max_troughs/max_candidates)
+                                    # — output may silently omit events; the
+                                    # host surface raises (host.py)
 
 
 def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
@@ -154,6 +158,8 @@ def analyze_envelope(envelope: jnp.ndarray, sample_rate: int,
         final_count=corr.count,
         metrics=metrics,
         ok=corr.count >= 2,
+        overflowed=(peaks.overflowed | nf.overflowed | res.s1_overflowed
+                    | corr.overflowed),
     )
 
 

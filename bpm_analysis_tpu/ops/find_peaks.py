@@ -39,6 +39,7 @@ from jax import lax
 class Peaks(NamedTuple):
     positions: jnp.ndarray  # (capacity,) int32; slots >= count hold n (past end)
     count: jnp.ndarray      # () int32
+    overflowed: jnp.ndarray  # () bool: a capacity truncated the population
 
 
 def local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
@@ -66,8 +67,9 @@ def _compact_mask(mask: jnp.ndarray, capacity: int) -> Peaks:
     rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
     write = jnp.where(mask & (rank < capacity), rank, capacity)
     out = jnp.full((capacity + 1,), n, jnp.int32).at[write].set(idx, mode="drop")
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), capacity)
-    return Peaks(out[:capacity], count)
+    total = jnp.sum(mask.astype(jnp.int32))
+    count = jnp.minimum(total, capacity)
+    return Peaks(out[:capacity], count, total > capacity)
 
 
 def _sparse_table(x: jnp.ndarray, op) -> jnp.ndarray:
@@ -223,8 +225,9 @@ def find_peaks(
     ``work_capacity`` bounds the *intermediate* peak population (local maxima
     surviving the height filter, before distance/prominence pruning) — on the
     vulpine sample that is ~11k maxima funneling down to 1.5k raw peaks.
-    Populations beyond it are silently truncated from the tail, so size it
-    generously (default 4x capacity).
+    Populations beyond it are truncated from the tail and the returned
+    ``Peaks.overflowed`` flag is set (as it is when the final survivor count
+    exceeds ``capacity``), so size it generously (default 4x capacity).
     """
     n = x.shape[0]
     work_capacity = work_capacity or 4 * capacity
@@ -253,7 +256,8 @@ def find_peaks(
         pos = jnp.where(valid, pos, n - 1)
 
     out_pos = jnp.where(valid, pos, n)[:capacity].astype(jnp.int32)
-    return Peaks(out_pos, jnp.minimum(count, capacity))
+    overflowed = peaks.overflowed | (count > capacity)
+    return Peaks(out_pos, jnp.minimum(count, capacity), overflowed)
 
 
 def _recompact(pos: jnp.ndarray, keep: jnp.ndarray, n: int):

@@ -1,0 +1,82 @@
+"""Capacity-overflow surfacing: fixed-size buffers must fail loudly.
+
+A recording producing more events than RuntimeConfig's capacities used to be
+silently truncated with ok=True (round-1 VERDICT weakness #4); now every
+truncation raises a flag that propagates to PipelineResult.overflowed and the
+host surface refuses to render artifacts from it.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
+from bpm_analysis_tpu.models import envelope as envm, pipeline
+from bpm_analysis_tpu.ops import find_peaks as fp
+
+
+def _busy_signal(n=4000, period=8):
+    """A comb of maxima: n/period local peaks."""
+    x = np.zeros(n)
+    x[np.arange(period // 2, n - 1, period)] = 1.0 + 0.001 * np.arange(
+        len(np.arange(period // 2, n - 1, period)))
+    return x
+
+
+def test_find_peaks_overflow_flag():
+    x = jnp.asarray(_busy_signal())
+    full = fp.find_peaks(x, 1024)
+    assert not bool(full.overflowed)
+    trunc = fp.find_peaks(x, 64)
+    assert bool(trunc.overflowed)
+    assert int(trunc.count) == 64
+    # work_capacity truncation (intermediate stage) also flags.
+    wtrunc = fp.find_peaks(x, 1024, work_capacity=128)
+    assert bool(wtrunc.overflowed)
+
+
+def test_pipeline_overflow_propagates():
+    sr = 302
+    rng = np.random.RandomState(0)
+    sig = np.zeros(sr * 60, np.float64)
+    beats = np.arange(sr // 2, len(sig) - sr, int(0.4 * sr))
+    sig[beats] = 1000.0
+    sig[beats + int(0.12 * sr)] = 500.0
+    kernel = np.exp(-np.arange(40) / 8.0) * np.cos(np.arange(40) * 0.9)
+    sig = np.convolve(sig, kernel, mode="same") + rng.randn(len(sig)) * 5.0
+
+    env = envm.envelope_from_filtered(jnp.asarray(sig), sr)
+
+    ok_cfg = AnalyzerConfig(runtime=RuntimeConfig(
+        max_raw_peaks=1024, max_troughs=1024, max_candidates=512,
+        dtype="float64"))
+    res = pipeline.analyze_envelope(env, sr, ok_cfg)
+    assert not bool(res.overflowed)
+    n_beats = int(res.final_count)
+    assert n_beats > 100
+
+    # Capacities below the real population must flag, not silently truncate.
+    tiny = AnalyzerConfig(runtime=RuntimeConfig(
+        max_raw_peaks=64, max_troughs=64, max_candidates=32, dtype="float64"))
+    res_t = pipeline.analyze_envelope(env, sr, tiny)
+    assert bool(res_t.overflowed)
+
+
+def test_host_raises_on_overflow(tmp_path):
+    from bpm_analysis_tpu import host
+    from bpm_analysis_tpu.io import wav
+
+    sr = 302
+    sig = np.zeros(sr * 60, np.float64)
+    beats = np.arange(sr // 2, len(sig) - sr, int(0.4 * sr))
+    sig[beats] = 1000.0
+    sig[beats + int(0.12 * sr)] = 500.0
+    kernel = np.exp(-np.arange(40) / 8.0) * np.cos(np.arange(40) * 0.9)
+    sig = np.convolve(sig, kernel, mode="same")
+    path = str(tmp_path / "busy.wav")
+    wav.write(path, sr, np.int16(sig / np.max(np.abs(sig)) * 32767))
+
+    tiny = AnalyzerConfig(runtime=RuntimeConfig(
+        max_raw_peaks=64, max_troughs=64, max_candidates=32, dtype="float64"))
+    with pytest.raises(RuntimeError, match="capacity overflow"):
+        host.analyze_wav_file(path, cfg=tiny, output_directory=str(tmp_path),
+                              pre_filtered=True)
