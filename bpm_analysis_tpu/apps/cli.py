@@ -37,6 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. *_filtered_debug.wav artifacts)")
     p.add_argument("--no-saved-hints", action="store_true",
                    help="ignore per-file hints saved in _Analysis_Settings.json")
+    p.add_argument("--batch", action="store_true",
+                   help="analyze files in device batches (mixed lengths are "
+                        "bucketed+padded; artifacts identical to serial mode)")
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="max recordings per device batch (default 32)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard batches over this many devices (0 = all "
+                        "visible devices when >1, else unsharded)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -62,36 +70,79 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
-    errors = []
-    for path in files:
-        base = os.path.splitext(os.path.basename(path))[0]
+    def file_hint(path):
         hint = args.bpm_hint
         if not args.no_saved_hints:
-            saved = settings_mod.load_hint(args.output_dir, base)
+            saved = settings_mod.load_hint(
+                args.output_dir, os.path.splitext(os.path.basename(path))[0])
             if saved is not None:
                 hint = saved
+        return hint
+
+    if args.batch:
+        return run_batched(args, files, file_hint)
+
+    errors = []
+    for path in files:
+        hint = file_hint(path)
         try:
             result = analyze_any_file(
                 path, DEFAULT_CONFIG, hint, args.output_dir, pre_filtered=args.pre_filtered
             )
-            if result is None:
-                print(f"{path}: not enough beats detected for a report")
-            else:
-                m = result.metrics
-                print(f"{path}: {int(result.final_count)} beats, "
-                      f"avg/min/max BPM {float(m.avg_bpm):.1f}/"
-                      f"{float(m.min_bpm):.1f}/{float(m.max_bpm):.1f} "
-                      f"-> {args.output_dir}/{base}_*")
+            print_result(path, result, args.output_dir)
         except Exception as e:  # per-file isolation (gui.py:247-257)
             logging.exception(f"analysis failed for {path}")
             errors.append((path, str(e)))
 
+    return report_errors(errors)
+
+
+def print_result(path: str, result, output_dir: str) -> None:
+    base = os.path.splitext(os.path.basename(path))[0]
+    if result is None:
+        print(f"{path}: not enough beats detected for a report")
+    else:
+        m = result.metrics
+        print(f"{path}: {int(result.final_count)} beats, "
+              f"avg/min/max BPM {float(m.avg_bpm):.1f}/"
+              f"{float(m.min_bpm):.1f}/{float(m.max_bpm):.1f} "
+              f"-> {output_dir}/{base}_*")
+
+
+def report_errors(errors) -> int:
     if errors:
         print("\nFiles with errors:", file=sys.stderr)
         for path, msg in errors:
             print(f"  {path}: {msg}", file=sys.stderr)
         return 1
     return 0
+
+
+def run_batched(args, files, file_hint) -> int:
+    """Device-batched mode: bucket mixed-length files into shared shapes and
+    analyze them as vmapped (optionally dp-sharded) batches — the parallel
+    replacement of the reference's serial loop (gui.py:202)."""
+    from .. import host_batch
+
+    mesh = None
+    if args.dp != 1:
+        import jax
+
+        devs = jax.devices()
+        dp = args.dp if args.dp > 0 else len(devs)
+        if dp > 1:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(devs[:dp])
+    results, errors = host_batch.analyze_files_batched(
+        files, DEFAULT_CONFIG, args.output_dir,
+        hints=[file_hint(f) for f in files],
+        max_batch=args.batch_size, pre_filtered=args.pre_filtered, mesh=mesh,
+    )
+    for path in files:
+        if path in results:
+            print_result(path, results[path], args.output_dir)
+    return report_errors(errors)
 
 
 if __name__ == "__main__":

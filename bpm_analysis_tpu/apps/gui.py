@@ -125,15 +125,21 @@ class BPMApp:
             daemon=True)
         self.worker.start()
 
+    @staticmethod
+    def resolve_hint(output_directory: str, path: str, global_hint):
+        """Per-file saved hint takes precedence over the global entry —
+        reference gui.py:143-166, 213-226."""
+        base = os.path.splitext(os.path.basename(path))[0]
+        saved = settings_mod.load_hint(output_directory, base)
+        return saved if saved is not None else global_hint
+
     def _run_analysis_in_background(self, files: List[str], global_hint):
         errors = []
         for i, path in enumerate(files):
             base = os.path.splitext(os.path.basename(path))[0]
             self.log_queue.put(UIMessage(
                 UIMessageType.STATUS, f"[{i + 1}/{len(files)}] analyzing {base}…"))
-            hint = settings_mod.load_hint(self.output_directory, base)
-            if hint is None:
-                hint = global_hint
+            hint = self.resolve_hint(self.output_directory, path, global_hint)
             try:
                 result = analyze_any_file(path, self.cfg, hint, self.output_directory)
                 if result is None:

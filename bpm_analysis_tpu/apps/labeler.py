@@ -14,8 +14,10 @@ Feature parity with the reference labeler:
 * persists ``<base>_labels.csv`` in the reference's two-section format
   ("# Peak Labels" + "# S1-S2 Intervals", heartbeat_labeler.py:165-193) with
   the same greedy S1→next-S2 interval pairing (:198-217),
-* label-group statistics: contiguous label groups split on >3 s gaps with
-  per-group average S1-S2 interval (:244-308).
+* time-range average tool: average S1-S2 interval / BPM over the pairs whose
+  S1 lies in a user-chosen [start, end] range (:219-243, :697-723),
+* label-group statistics: S1 peaks split into groups at >=5 s gaps with
+  per-group average S1-S2 interval / BPM via the same range tool (:244-308).
 
 Run: ``python -m bpm_analysis_tpu.apps.labeler [--port 8050] [--dir processed_files]``
 """
@@ -33,7 +35,6 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 PROCESSED_DIR = "processed_files"
-GAP_SPLIT_SEC = 3.0
 
 
 def list_files(directory: str):
@@ -115,25 +116,50 @@ def s1_s2_pairs(labels):
     return pairs
 
 
-def group_stats(labels):
-    """Split labels into groups at >3 s gaps; per-group avg S1-S2 interval
-    (heartbeat_labeler.py:244-308)."""
-    ordered = sorted(labels, key=lambda l: l["time"])
-    groups, current = [], []
-    for l in ordered:
-        if current and l["time"] - current[-1]["time"] > GAP_SPLIT_SEC:
+def avg_delta_t_in_range(labels, start_time, end_time):
+    """Average S1-S2 interval / BPM over pairs whose S1 falls inside
+    [start_time, end_time] — the reference's interactive time-range tool
+    (heartbeat_labeler.py:219-243).  Returns (avg_delta_t, avg_bpm, pairs);
+    (None, None, []) when the range holds no pairs."""
+    if start_time is None or end_time is None:
+        return None, None, []
+    pairs = [p for p in s1_s2_pairs(labels)
+             if start_time <= p[0] <= end_time]
+    if not pairs:
+        return None, None, []
+    avg_dt = sum(p[2] for p in pairs) / len(pairs)
+    avg_bpm = sum(p[3] for p in pairs) / len(pairs)
+    return avg_dt, avg_bpm, pairs
+
+
+def group_stats(labels, gap_threshold=5.0):
+    """Gap-based label groups (heartbeat_labeler.py:244-308): consecutive S1
+    peaks closer than ``gap_threshold`` seconds form a group; per group the
+    stats come from :func:`avg_delta_t_in_range` over [first S1, last S1].
+    Groups with fewer than 2 S1 peaks are skipped, like the reference."""
+    s1_times = sorted(l["time"] for l in labels if l["type"] == "S1")
+    if len(s1_times) < 2:
+        return []
+    groups, current = [], [s1_times[0]]
+    for t in s1_times[1:]:
+        if t - current[-1] < gap_threshold:
+            current.append(t)
+        else:
             groups.append(current)
-            current = []
-        current.append(l)
-    if current:
-        groups.append(current)
+            current = [t]
+    groups.append(current)
     out = []
-    for g in groups:
-        pairs = s1_s2_pairs(g)
+    for i, g in enumerate(groups):
+        if len(g) < 2:
+            continue
+        avg_dt, avg_bpm, pairs = avg_delta_t_in_range(labels, g[0], g[-1])
+        if avg_dt is None:
+            continue
         out.append({
-            "start": g[0]["time"], "end": g[-1]["time"], "n_labels": len(g),
+            "group_id": i + 1, "start": g[0], "end": g[-1],
+            "duration": g[-1] - g[0], "s1_count": len(g),
             "n_pairs": len(pairs),
-            "avg_delta_t": (sum(p[2] for p in pairs) / len(pairs)) if pairs else None,
+            "avg_delta_t": avg_dt, "avg_bpm": avg_bpm,
         })
     return out
 
@@ -170,6 +196,12 @@ body{background:#14141e;color:#ddd;font-family:sans-serif;margin:16px}
 <button onclick="save()">Save (writes _labels.csv)</button>
 <button onclick="clearLabels()">Clear</button>
 <span>mode: <span id="mode">S1</span> (z = S1, x = S2, Ctrl+Z = undo, click = label)</span>
+</div>
+<div id="bar">
+Range: <input id="t0" type="number" step="0.001" style="width:90px" placeholder="start s">
+&rarr; <input id="t1" type="number" step="0.001" style="width:90px" placeholder="end s">
+<button onclick="rangeAvg()">Average S1-S2 interval in range</button>
+<span id="range-out"></span>
 </div>
 <canvas id="c" width="1400" height="520"></canvas>
 <div id="stats"></div>
@@ -230,6 +262,18 @@ async function save(){
   const out=await r.json(); data.groups=out.groups; draw();
 }
 function clearLabels(){undoStack.push(JSON.stringify(labels)); labels=[]; draw();}
+async function rangeAvg(){
+  const t0=parseFloat(document.getElementById('t0').value),
+        t1=parseFloat(document.getElementById('t1').value);
+  if(isNaN(t0)||isNaN(t1)) return;
+  const r=await fetch('api/range_avg',{method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({labels:labels,start:t0,end:t1})});
+  const out=await r.json();
+  document.getElementById('range-out').innerText = out.avg_delta_t==null
+    ? ` no S1-S2 pairs in ${t0}s..${t1}s`
+    : ` avg S1-S2 interval ${out.avg_delta_t.toFixed(3)}s, avg BPM ${out.avg_bpm.toFixed(1)} (${out.n_pairs} pairs)`;
+}
 loadList();
 </script></body></html>"""
 
@@ -282,15 +326,21 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
-        if url.path != "/api/save":
-            self._json({"error": "not found"}, 404)
-            return
         length = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(length) or b"{}")
-        base = payload.get("file", "")
-        labels = payload.get("labels", [])
-        path = save_labels(self.directory, base, labels)
-        self._json({"saved": path, "groups": group_stats(labels)})
+        if url.path == "/api/save":
+            base = payload.get("file", "")
+            labels = payload.get("labels", [])
+            path = save_labels(self.directory, base, labels)
+            self._json({"saved": path, "groups": group_stats(labels)})
+        elif url.path == "/api/range_avg":
+            avg_dt, avg_bpm, pairs = avg_delta_t_in_range(
+                payload.get("labels", []), payload.get("start"),
+                payload.get("end"))
+            self._json({"avg_delta_t": avg_dt, "avg_bpm": avg_bpm,
+                        "n_pairs": len(pairs), "pairs": pairs})
+        else:
+            self._json({"error": "not found"}, 404)
 
 
 def main(argv=None):

@@ -18,11 +18,31 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
+import functools
+
+import jax
+
 from .config import AnalyzerConfig, DEFAULT_CONFIG
 from .io import wav
 from .models import envelope as envm
 from .models import pipeline
 from .reports import csvout, debug_log, plot, settings, summary
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
+def _preprocess_jit(audio, sample_rate: int, cfg: AnalyzerConfig):
+    """jitted preprocess: faster, and — critically — bit-identical to the
+    batched bucket program (XLA:CPU's eager kernels associate windowed sums
+    differently from its jitted fusions; everything jitted agrees across
+    shapes, so the serial-vs-batched artifact contract requires the serial
+    path to be jitted too — see tests/test_host_batch.py)."""
+    env, filtered, _rate = envm.preprocess(audio, sample_rate, cfg)
+    return env, filtered
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate",))
+def _envelope_jit(filtered, sample_rate: int):
+    return envm.envelope_from_filtered(filtered, sample_rate)
 
 SUPPORTED_EXTENSIONS = (".wav", ".mp3", ".m4a", ".flac", ".ogg", ".mp4", ".mkv", ".mov")
 
@@ -43,6 +63,49 @@ def convert_to_wav(file_path: str, target_path: str) -> bool:
     except subprocess.CalledProcessError as e:
         logging.error(f"Could not convert file {file_path}. Error: {e.stderr[-500:]}")
         return False
+
+
+def check_overflow(result, original_file_path: str) -> None:
+    if bool(result.overflowed):
+        raise RuntimeError(
+            f"{os.path.basename(original_file_path)}: analysis capacity "
+            "overflow — a fixed-size buffer (RuntimeConfig.max_raw_peaks/"
+            "max_troughs/max_candidates) truncated detected events and the "
+            "output would silently omit beats. Re-run with larger capacities."
+        )
+
+
+def save_filtered_wav(filtered: np.ndarray, new_rate: int,
+                      original_file_path: str, output_directory: str) -> None:
+    """``*_filtered_debug.wav`` (int16-normalized, bpm_analysis.py:1047-1050)."""
+    base = os.path.basename(os.path.splitext(original_file_path)[0])
+    peak = np.max(np.abs(filtered)) or 1.0
+    norm = np.int16(filtered / peak * 32767)
+    wav.write(os.path.join(output_directory, f"{base}_filtered_debug.wav"),
+              new_rate, norm)
+
+
+def render_artifacts(result, cfg: AnalyzerConfig, env_np: np.ndarray,
+                     new_rate: int, original_file_path: str,
+                     output_directory: str, start_bpm_hint=None):
+    """Persist the reference's artifact set for one analyzed recording:
+    settings JSON, BPM CSV, summary MD, debug log MD, HTML plot
+    (bpm_analysis.py:1756-1765).  Returns the result, or None when fewer
+    than 2 final beats (the reference's no-report outcome)."""
+    base = os.path.basename(os.path.splitext(original_file_path)[0])
+    settings.save(output_directory, base, start_bpm_hint)
+    check_overflow(result, original_file_path)
+    if not bool(result.ok):
+        logging.warning("Not enough S1 peaks detected to generate full report.")
+        return None
+    times, bpm = csvout.bpm_rows(result)
+    csvout.write_bpm_csv(os.path.join(output_directory, f"{base}_bpm_plot.csv"),
+                         times, bpm)
+    summary.save(result, original_file_path, output_directory)
+    debug_log.save(result, cfg, env_np, new_rate, original_file_path,
+                   output_directory)
+    plot.save(result, cfg, env_np, new_rate, original_file_path, output_directory)
+    return result
 
 
 def analyze_wav_file(
@@ -75,44 +138,22 @@ def analyze_wav_file(
         # ``*_filtered_debug.wav`` artifact; skip decimation/filtering the
         # way the reference's labeler does (heartbeat_labeler.py:62-67).
         new_rate = sample_rate
-        env = envm.envelope_from_filtered(jnp.asarray(mono, dtype), new_rate)
+        env = _envelope_jit(jnp.asarray(mono, dtype), new_rate)
     else:
-        env, filtered, new_rate = envm.preprocess(jnp.asarray(mono, dtype), sample_rate, cfg)
+        env, filtered = _preprocess_jit(jnp.asarray(mono, dtype), sample_rate, cfg)
+        factor = envm.safe_downsample_factor(sample_rate, cfg)
+        new_rate = sample_rate // factor if factor > 1 else sample_rate
         if cfg.preprocess.save_filtered_wav:
-            base = os.path.basename(os.path.splitext(original_file_path)[0])
-            fa = np.asarray(filtered)
-            peak = np.max(np.abs(fa)) or 1.0
-            norm = np.int16(fa / peak * 32767)
-            wav.write(os.path.join(output_directory, f"{base}_filtered_debug.wav"),
-                      new_rate, norm)
+            save_filtered_wav(np.asarray(filtered), new_rate, original_file_path,
+                              output_directory)
 
     hint = float(start_bpm_hint) if start_bpm_hint else float("nan")
     result = pipeline.analyze_envelope_jit(env, new_rate, cfg, hint)
 
-    base = os.path.basename(os.path.splitext(original_file_path)[0])
-    settings.save(output_directory, base, start_bpm_hint)
-
-    if bool(result.overflowed):
-        raise RuntimeError(
-            f"{os.path.basename(original_file_path)}: analysis capacity "
-            "overflow — a fixed-size buffer (RuntimeConfig.max_raw_peaks/"
-            "max_troughs/max_candidates) truncated detected events and the "
-            "output would silently omit beats. Re-run with larger capacities."
-        )
-
-    if not bool(result.ok):
-        logging.warning("Not enough S1 peaks detected to generate full report.")
-        return None
-
-    env_np = np.asarray(env)
-    times, bpm = csvout.bpm_rows(result)
-    csvout.write_bpm_csv(os.path.join(output_directory, f"{base}_bpm_plot.csv"), times, bpm)
-    summary.save(result, original_file_path, output_directory)
-    debug_log.save(result, cfg, env_np, new_rate, original_file_path, output_directory)
-    plot.save(result, cfg, env_np, new_rate, original_file_path, output_directory)
-
+    out = render_artifacts(result, cfg, np.asarray(env), new_rate,
+                           original_file_path, output_directory, start_bpm_hint)
     logging.info(f"--- Analysis finished in {time.time() - start:.2f} seconds. ---")
-    return result
+    return out
 
 
 def analyze_any_file(

@@ -1,0 +1,232 @@
+"""Batched multi-file analysis — the TPU-parallel replacement for the
+reference's serial per-file worker loop (gui.py:202-245).
+
+This is the framework's raison d'être (BASELINE.json configs[4]: 64x 10-min
+mixed-format recordings across a chip mesh): files are decoded in parallel by
+the native C++ loader, bucketed by (sample_rate, padded length) into a small
+set of static shapes, analyzed as vmapped device batches with per-recording
+traced valid lengths (``n_valid`` — the masked program computes exactly the
+serial per-file analysis, see tests/test_masked_length.py), and rendered to
+the same per-file artifact set the serial front-end produces.
+
+Artifact contract (tests/test_host_batch.py): every decision, peak position,
+count, CSV row, summary and settings file is byte-identical to the serial
+path.  The only tolerated difference is a one-quantum formatting flip in the
+debug log's amplitude *display* fields: XLA:CPU's GEMM kernels block (hence
+associate f32 sums) differently per batch shape, which can move a raw
+envelope value half an ULP across a 0.1-rounding boundary.
+
+Shape discipline: lengths pad to power-of-two buckets (>= ``min_bucket``) and
+batches pad to power-of-two sizes, so a fleet of mixed-length recordings
+compiles O(log) distinct programs instead of one per (batch, length) pair.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import AnalyzerConfig, DEFAULT_CONFIG
+from .io import native, wav
+from .models import envelope as envm
+from .models import pipeline
+from . import host
+
+
+def length_bucket(n: int, min_bucket: int = 1 << 15) -> int:
+    """Smallest power-of-two >= n (>= min_bucket)."""
+    b = min_bucket
+    while b < n:
+        b <<= 1
+    return b
+
+
+def batch_bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two >= n, capped at max_batch."""
+    b = 1
+    while b < n and b < max_batch:
+        b <<= 1
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
+def _analyze_padded_batch(audio, hints, n_valid, sample_rate: int,
+                          cfg: AnalyzerConfig):
+    """One bucket: (B, L) zero-padded PCM + per-row valid lengths → per-row
+    (envelope, filtered, decimated valid length, PipelineResult)."""
+
+    def one(x, h, nv):
+        env, filtered, _rate, nv_dec = envm.preprocess(x, sample_rate, cfg,
+                                                       n_valid=nv)
+        res = pipeline.analyze_envelope(env, _post_rate(sample_rate, cfg), cfg,
+                                        h, n_valid=nv_dec)
+        return env, filtered, nv_dec, res
+
+    return jax.vmap(one)(audio, hints, n_valid)
+
+
+def _post_rate(sample_rate: int, cfg: AnalyzerConfig) -> int:
+    factor = envm.safe_downsample_factor(sample_rate, cfg)
+    return sample_rate // factor if factor > 1 else sample_rate
+
+
+def _tree_row(tree, i):
+    return jax.tree_util.tree_map(lambda a: a[i], tree)
+
+
+def prepare_wavs(paths: Sequence[str], output_dir: str) -> List[Tuple[str, str]]:
+    """Convert-or-copy each input into ``output_dir`` (gui.py:202-245).
+    Returns [(wav_path, original_path)] in input order; conversion failures
+    raise per-file at decode time instead (length-0 roster entries)."""
+    os.makedirs(output_dir, exist_ok=True)
+    out = []
+    for p in paths:
+        base, ext = os.path.splitext(os.path.basename(p))
+        target = os.path.join(output_dir, f"{base}.wav")
+        if ext.lower() == ".wav":
+            if os.path.abspath(target) != os.path.abspath(p):
+                shutil.copyfile(p, target)
+        else:
+            if not host.convert_to_wav(p, target):
+                raise RuntimeError(f"conversion failed for {p}")
+        out.append((target, p))
+    return out
+
+
+def analyze_files_batched(
+    paths: Sequence[str],
+    cfg: AnalyzerConfig = DEFAULT_CONFIG,
+    output_dir: str = "processed_files",
+    hints: Optional[Sequence[Optional[float]]] = None,
+    max_batch: int = 32,
+    min_bucket: int = 1 << 15,
+    pre_filtered: bool = False,
+    render: bool = True,
+    mesh=None,
+) -> Tuple[Dict[str, object], List[Tuple[str, str]]]:
+    """Analyze many files in device batches.  Returns (results, errors):
+    ``results[original_path]`` is the per-file PipelineResult (or None when
+    fewer than 2 beats — the reference's "no report" outcome), and errors is
+    a per-file roster of (path, message).
+
+    Artifacts rendered per file match the serial ``host.analyze_wav_file``
+    output exactly (masked-length contract).  With ``mesh``, batches are
+    sharded over its ``dp`` axis (batch buckets pad to the dp size).
+    """
+    errors: List[Tuple[str, str]] = []
+    results: Dict[str, object] = {}
+    if hints is None:
+        hints = [None] * len(paths)
+
+    pairs = prepare_wavs(paths, output_dir)
+
+    # --- probe + bucket ------------------------------------------------------
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    meta = []
+    for i, (wav_path, orig) in enumerate(pairs):
+        try:
+            sr, nframes = wav.probe(wav_path)
+            if nframes < 16:
+                raise ValueError("empty or near-empty recording")
+            meta.append((sr, nframes))
+            groups.setdefault((sr, length_bucket(nframes, min_bucket)), []).append(i)
+        except Exception as e:
+            meta.append(None)
+            errors.append((orig, str(e)))
+            logging.warning(f"probe failed for {orig}: {e}")
+
+    dp = 1
+    if mesh is not None:
+        dp = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    # --- per bucket: decode, pad, run, render --------------------------------
+    for (sr, bucket_len), idxs in sorted(groups.items()):
+        for chunk_start in range(0, len(idxs), max_batch):
+            chunk = idxs[chunk_start:chunk_start + max_batch]
+            b = batch_bucket(len(chunk), max_batch)
+            if mesh is not None:
+                b = max(b, dp)
+                b = -(-b // dp) * dp
+            wav_paths = [pairs[i][0] for i in chunk]
+            buf, rates, lengths = native.decode_batch_f32(wav_paths, bucket_len)
+            ok_rows = []
+            for row, i in enumerate(chunk):
+                if lengths[row] <= 0:
+                    errors.append((pairs[i][1], "decode failed"))
+                else:
+                    ok_rows.append(row)
+            if not ok_rows:
+                continue
+
+            audio = np.zeros((b, bucket_len), np.float32)
+            n_valid = np.full((b,), int(lengths[ok_rows[0]]), np.int32)
+            hint_arr = np.full((b,), np.nan, np.float32)
+            for slot, row in enumerate(ok_rows):
+                audio[slot] = buf[row]
+                n_valid[slot] = int(lengths[row])
+                h = hints[chunk[row]]
+                hint_arr[slot] = np.nan if not h else float(h)
+            # batch padding rows duplicate row 0 (results discarded).
+            for slot in range(len(ok_rows), b):
+                audio[slot] = audio[0]
+                n_valid[slot] = n_valid[0]
+
+            if pre_filtered:
+                run = _analyze_prefiltered_batch
+            else:
+                run = _analyze_padded_batch
+            args = (jnp.asarray(audio), jnp.asarray(hint_arr),
+                    jnp.asarray(n_valid))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(mesh, P(mesh.axis_names))
+                args = tuple(jax.device_put(a, shard) for a in args)
+            env_b, filt_b, nvd_b, res_b = run(*args, sr, cfg)
+
+            new_rate = sr if pre_filtered else _post_rate(sr, cfg)
+            env_np = np.asarray(env_b)
+            filt_np = None if filt_b is None else np.asarray(filt_b)
+            nvd_np = np.asarray(nvd_b)
+            for slot, row in enumerate(ok_rows):
+                orig = pairs[chunk[row]][1]
+                res_i = jax.device_get(_tree_row(res_b, slot))
+                nv_dec = int(nvd_np[slot])
+                try:
+                    if render:
+                        if (filt_np is not None
+                                and cfg.preprocess.save_filtered_wav):
+                            host.save_filtered_wav(
+                                filt_np[slot][:nv_dec], new_rate, orig, output_dir)
+                        out = host.render_artifacts(
+                            res_i, cfg, env_np[slot][:nv_dec], new_rate, orig,
+                            output_dir, hints[chunk[row]])
+                    else:
+                        host.check_overflow(res_i, orig)
+                        out = res_i if bool(res_i.ok) else None
+                    results[orig] = out
+                except Exception as e:
+                    logging.exception(f"post-processing failed for {orig}")
+                    errors.append((orig, str(e)))
+
+    return results, errors
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
+def _analyze_prefiltered_batch(audio, hints, n_valid, sample_rate: int,
+                               cfg: AnalyzerConfig):
+    """Bucket runner for already-filtered inputs (``*_filtered_debug.wav``):
+    envelope straight from the signal, no decimation (n_valid unchanged)."""
+
+    def one(x, h, nv):
+        env = envm.envelope_from_filtered(x, sample_rate, n_valid=nv)
+        res = pipeline.analyze_envelope(env, sample_rate, cfg, h, n_valid=nv)
+        return env, x, nv, res
+
+    return jax.vmap(one)(audio, hints, n_valid)

@@ -68,6 +68,35 @@ def read(path: str) -> Tuple[int, np.ndarray]:
     return sample_rate, arr
 
 
+def probe(path: str) -> Tuple[int, int]:
+    """Header-only probe: (sample_rate, n_frames) without reading samples —
+    the batch runner uses this to bucket files by length before decoding."""
+    with open(path, "rb") as f:
+        riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        sample_rate = channels = bits = None
+        data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            chunk_id, chunk_size = struct.unpack("<4sI", hdr)
+            if chunk_id == b"fmt ":
+                fmt = f.read(chunk_size + (chunk_size & 1))
+                _af, channels, sample_rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", fmt[:16])
+            else:
+                if chunk_id == b"data":
+                    data_size = chunk_size
+                f.seek(chunk_size + (chunk_size & 1), 1)
+            if sample_rate is not None and data_size is not None:
+                break
+    if sample_rate is None or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    return sample_rate, data_size // (channels * max(bits // 8, 1))
+
+
 def write(path: str, sample_rate: int, data: np.ndarray) -> None:
     """Write a mono/multichannel WAV (int16 or float32)."""
     data = np.asarray(data)

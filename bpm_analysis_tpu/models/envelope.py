@@ -41,26 +41,39 @@ def safe_downsample_factor(sample_rate: int, cfg: AnalyzerConfig) -> int:
     return factor
 
 
-def envelope_from_filtered(filtered: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+def envelope_from_filtered(filtered: jnp.ndarray, sample_rate: int,
+                           n_valid=None) -> jnp.ndarray:
     """abs → centered rolling mean of ``sr // 10`` samples
-    (bpm_analysis.py:1052-1054)."""
+    (bpm_analysis.py:1052-1054).  With a traced ``n_valid``, windows truncate
+    at the valid boundary exactly as pandas truncates at the series end."""
     window = sample_rate // 10
-    return rolling.rolling_mean_centered(jnp.abs(filtered), window)
+    if n_valid is None:
+        return rolling.rolling_mean_centered(jnp.abs(filtered), window)
+    valid = jnp.arange(filtered.shape[0]) < n_valid
+    return rolling.rolling_mean_centered_masked(jnp.abs(filtered), valid, window)
 
 
 def preprocess(
-    audio: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig
+    audio: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig, n_valid=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Full preprocessing from mono PCM at the native rate.
 
     Returns (envelope, filtered_signal, new_sample_rate).  The filtered
     signal is what the reference writes as ``*_filtered_debug.wav``
     (bpm_analysis.py:1047-1050).
+
+    ``n_valid`` (traced) marks the valid prefix of a zero-padded ``audio``;
+    the result at positions < ceil(n_valid / factor) equals the unpadded
+    serial run bit-for-bit (the batching contract, see ``host_batch``).
+    Returns the decimated valid length as a fourth element in that case.
     """
     factor = safe_downsample_factor(sample_rate, cfg)
     low = cfg.preprocess.bandpass_low_hz
     high = cfg.preprocess.bandpass_high_hz
     order = cfg.preprocess.bandpass_order
+    masked = n_valid is not None
+    if masked:
+        audio = jnp.where(jnp.arange(audio.shape[0]) < n_valid, audio, 0)
 
     if cfg.compat.antialias_decimation:
         # North-star path: FIR anti-alias decimation (strided windowed-sinc
@@ -70,7 +83,6 @@ def preprocess(
 
         decimated = fir_decimate(audio, factor)
         new_rate = sample_rate // factor if factor > 1 else sample_rate
-        filtered = bandpass_filtfilt(decimated, new_rate, low, high, order)
     else:
         # Compat path: stride-decimate first (aliases above the new Nyquist
         # fold in — reproducing bpm_analysis.py:1031-1045 exactly).
@@ -80,6 +92,14 @@ def preprocess(
             raise ValueError(
                 f"Cannot create a {high:g}Hz filter: effective rate {new_rate}Hz too low"
             )
-        filtered = bandpass_filtfilt(decimated, new_rate, low, high, order)
 
-    return envelope_from_filtered(filtered, new_rate), filtered, new_rate
+    if not masked:
+        filtered = bandpass_filtfilt(decimated, new_rate, low, high, order)
+        return envelope_from_filtered(filtered, new_rate), filtered, new_rate
+
+    nv_dec = -(-jnp.asarray(n_valid, jnp.int32) // factor) if factor > 1 \
+        else jnp.asarray(n_valid, jnp.int32)
+    filtered = bandpass_filtfilt(decimated, new_rate, low, high, order,
+                                 n_valid=nv_dec)
+    env = envelope_from_filtered(filtered, new_rate, n_valid=nv_dec)
+    return env, filtered, new_rate, nv_dec

@@ -45,22 +45,39 @@ class NoiseFloorResult(NamedTuple):
 
 
 def dynamic_noise_floor(
-    envelope: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig
+    envelope: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig, n_valid=None
 ) -> NoiseFloorResult:
+    """``n_valid`` (traced) marks the valid prefix of a zero-padded envelope;
+    results at positions < n_valid match the unpadded serial run exactly.
+    The padded tail is hidden by (a) filling it with ``envelope[n_valid-1]``
+    so local-maxima/prominence/edge semantics see the same "signal edge" the
+    serial run sees, (b) NaN-masking it out of every rolling quantile (NaN ==
+    missing == pandas' window truncation at the series end), and (c) masking
+    the global quantiles."""
     n = envelope.shape[0]
     ncfg = cfg.noise
     cap = cfg.runtime.max_troughs
 
+    idx = jnp.arange(n)
+    if n_valid is None:
+        valid = None
+        env_m = envelope
+    else:
+        valid = idx < n_valid
+        env_m = jnp.where(valid, envelope,
+                          envelope[jnp.maximum(n_valid - 1, 0)])
+
     min_dist = int(cfg.features.min_peak_distance_sec * sample_rate)
-    trough_prom = q.quantile_exact(envelope, cfg.features.trough_prominence_quantile)
+    trough_prom = q.quantile_exact(envelope, cfg.features.trough_prominence_quantile,
+                                   valid=valid)
     troughs = fp.find_peaks(
-        -envelope, cap, prominence=trough_prom, distance=min_dist,
+        -env_m, cap, prominence=trough_prom, distance=min_dist,
         work_capacity=4 * cap,
     )
     slot = jnp.arange(cap)
     t_valid = slot < troughs.count
     t_pos = jnp.where(t_valid, troughs.positions, 0)
-    t_amp = envelope[t_pos]
+    t_amp = env_m[t_pos]
 
     window = int(ncfg.noise_window_sec * sample_rate)
     chunk = cfg.runtime.quantile_chunk
@@ -85,11 +102,34 @@ def dynamic_noise_floor(
             return q.rolling_quantile_centered(
                 d, window, ncfg.noise_floor_quantile, min_periods=3, chunk=chunk)
 
+    if valid is None:
+        def mask_tail(d):
+            return d
+
+        def fix_tail_span(d):
+            return d
+    else:
+        # Hide the padded tail from the rolling quantile: NaN == missing ==
+        # pandas truncating the window at the series end.
+        def mask_tail(d):
+            return jnp.where(valid, d, jnp.nan)
+
+        # Strided quantiles interpolate between anchors; the serial run's
+        # final partial span holds its LAST anchor constant (interp_anchors
+        # with nxt == self), while the padded run would interpolate toward a
+        # tail anchor.  Pin the span [last_anchor*stride, n_valid) to the
+        # last-anchor value (exact for stride == 1 too: the span is then a
+        # single sample equal to itself).
+        last_anchor_pos = ((jnp.asarray(n_valid, jnp.int32) - 1) // stride) * stride
+
+        def fix_tail_span(d):
+            return jnp.where(idx >= last_anchor_pos, d[last_anchor_pos], d)
+
     # --- draft floor from ALL troughs --------------------------------------
     dense_draft = series.interpolate_dense(t_pos, t_amp, troughs.count, n,
                                            dtype=envelope.dtype)
-    draft = rolling_q(dense_draft)
-    draft_filled = q.bfill_ffill(draft)
+    draft = fix_tail_span(rolling_q(mask_tail(dense_draft)))
+    draft_filled = q.bfill_ffill(mask_tail(draft))
 
     # --- sanitize troughs ---------------------------------------------------
     floor_at_trough = draft_filled[t_pos]
@@ -97,19 +137,21 @@ def dynamic_noise_floor(
         t_amp <= ncfg.trough_rejection_multiplier * floor_at_trough
     )
     sane_pos, sane_count = series.compact_valid(t_pos, keep, fill=n)
-    sane_amp = envelope[jnp.where(jnp.arange(cap) < sane_count, sane_pos, 0)]
+    sane_amp = env_m[jnp.where(jnp.arange(cap) < sane_count, sane_pos, 0)]
 
     # --- final floor from sanitized troughs --------------------------------
     dense_final = series.interpolate_dense(sane_pos, sane_amp, sane_count, n,
                                            dtype=envelope.dtype)
-    final = rolling_q(dense_final)
-    final = q.bfill_ffill(final)
+    final = fix_tail_span(rolling_q(mask_tail(dense_final)))
+    final = q.bfill_ffill(mask_tail(final))
 
     # --- fallback ladder ----------------------------------------------------
     floor = jnp.where(sane_count > 2, final, draft_filled)
-    static_all_nan = q.quantile_exact(envelope, ncfg.all_nan_fallback_quantile)
+    static_all_nan = q.quantile_exact(envelope, ncfg.all_nan_fallback_quantile,
+                                      valid=valid)
     floor = jnp.where(jnp.all(jnp.isnan(floor)), static_all_nan, floor)
-    static_few = q.quantile_exact(envelope, ncfg.noise_floor_quantile)
+    static_few = q.quantile_exact(envelope, ncfg.noise_floor_quantile,
+                                  valid=valid)
     few_troughs = troughs.count < 5
     floor = jnp.where(few_troughs, static_few, floor)
 

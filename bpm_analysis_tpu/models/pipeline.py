@@ -58,12 +58,19 @@ class PipelineResult(NamedTuple):
 
 
 def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
-              cfg: AnalyzerConfig) -> fp.Peaks:
+              cfg: AnalyzerConfig, n_valid=None) -> fp.Peaks:
     """``PeakClassifier._find_raw_peaks`` (bpm_analysis.py:223-229)."""
-    prom = quantile_ops.quantile_exact(envelope, cfg.features.peak_prominence_quantile)
+    if n_valid is None:
+        valid, env_m = None, envelope
+    else:
+        valid = jnp.arange(envelope.shape[0]) < n_valid
+        env_m = jnp.where(valid, envelope,
+                          envelope[jnp.maximum(n_valid - 1, 0)])
+    prom = quantile_ops.quantile_exact(envelope, cfg.features.peak_prominence_quantile,
+                                       valid=valid)
     dist = int(cfg.features.min_peak_distance_sec * sample_rate)
     return fp.find_peaks(
-        envelope, cfg.runtime.max_raw_peaks, height=floor, prominence=prom,
+        env_m, cfg.runtime.max_raw_peaks, height=floor, prominence=prom,
         distance=dist, work_capacity=4 * cfg.runtime.max_raw_peaks,
     )
 
@@ -102,14 +109,19 @@ def preliminary_pass(envelope, floor, peaks: fp.Peaks, sample_rate: int,
 
 
 def analyze_envelope(envelope: jnp.ndarray, sample_rate: int,
-                     cfg: AnalyzerConfig, start_bpm_hint=jnp.nan) -> PipelineResult:
-    """Full pipeline from a precomputed envelope (stages 1b-6)."""
+                     cfg: AnalyzerConfig, start_bpm_hint=jnp.nan,
+                     n_valid=None) -> PipelineResult:
+    """Full pipeline from a precomputed envelope (stages 1b-6).
+
+    ``n_valid`` (traced) marks the valid prefix of a zero-padded envelope:
+    every result equals the serial run on ``envelope[:n_valid]`` (the
+    mixed-length batching contract — see ``host_batch``)."""
     dtype = envelope.dtype
     n = envelope.shape[0]
     start_bpm_hint = jnp.asarray(start_bpm_hint, dtype)
 
-    nf = noise_floor.dynamic_noise_floor(envelope, sample_rate, cfg)
-    peaks = raw_peaks(envelope, nf.floor, sample_rate, cfg)
+    nf = noise_floor.dynamic_noise_floor(envelope, sample_rate, cfg, n_valid=n_valid)
+    peaks = raw_peaks(envelope, nf.floor, sample_rate, cfg, n_valid=n_valid)
 
     start_bpm, peak_time, recovery_end = preliminary_pass(
         envelope, nf.floor, peaks, sample_rate, start_bpm_hint, cfg
@@ -170,13 +182,20 @@ def analyze_envelope_jit(envelope, sample_rate: int, cfg: AnalyzerConfig,
 
 
 def analyze_batch(envelopes: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig,
-                  start_bpm_hints: Optional[jnp.ndarray] = None) -> PipelineResult:
+                  start_bpm_hints: Optional[jnp.ndarray] = None,
+                  n_valid: Optional[jnp.ndarray] = None) -> PipelineResult:
     """vmapped pipeline over a batch of equal-length envelopes.
 
     This is the unit the runtime shards across chips: the classifier scans
     run in lockstep over the batch, amortizing the sequential steps.
+    ``n_valid`` (per-recording valid lengths) enables mixed-length batches
+    padded to a shared bucket length.
     """
     if start_bpm_hints is None:
         start_bpm_hints = jnp.full((envelopes.shape[0],), jnp.nan, envelopes.dtype)
-    fn = jax.vmap(lambda e, h: analyze_envelope(e, sample_rate, cfg, h))
-    return fn(envelopes, start_bpm_hints)
+    if n_valid is None:
+        fn = jax.vmap(lambda e, h: analyze_envelope(e, sample_rate, cfg, h))
+        return fn(envelopes, start_bpm_hints)
+    fn = jax.vmap(lambda e, h, nv: analyze_envelope(e, sample_rate, cfg, h,
+                                                    n_valid=nv))
+    return fn(envelopes, start_bpm_hints, n_valid)

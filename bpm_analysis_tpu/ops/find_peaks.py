@@ -180,30 +180,43 @@ def _select_by_distance(
     prio = jnp.where(valid, priority.astype(jnp.float32), neg_inf)
     # scipy iterates a *stable ascending* argsort in reverse: highest priority
     # first; among equal priorities the later (larger-index) peak first.
+    # ``rank`` is each slot's (unique) position in that processing order, so
+    # the priority relation "k beats j" is simply rank[k] < rank[j].
     order = jnp.flip(jnp.argsort(prio, stable=True))
+    rank = jnp.zeros((cap,), jnp.int32).at[order].set(
+        jnp.arange(cap, dtype=jnp.int32))
+    big = jnp.int32(cap)
+
+    # In scipy's greedy pass a peak removes its neighbors only if it is
+    # itself still alive when processed, and a peak alive at its processing
+    # time is never removed afterwards (only higher-priority peaks could, and
+    # they were already processed).  Hence the survivor set is the unique
+    # fixed point of  survives(j) ⟺ ∄ surviving k ≠ j within `dist` with
+    # rank[k] < rank[j]  — computed here by parallel rounds: every alive peak
+    # that is the min-rank among the alive peaks of its neighborhood survives
+    # greedy (nothing can remove it), and its alive neighbors are removed by
+    # it (it beats them all).  Each round decides at least the global
+    # min-rank alive peak, so the loop terminates in ≤ cap rounds (a handful
+    # in practice).  Positions are sorted ascending, so each neighborhood is
+    # a contiguous slot range answered by sparse-table range-min queries.
     posf = positions.astype(jnp.float32)
-    slots = jnp.arange(cap)
+    lo = jnp.searchsorted(posf, posf - dist, side="right").astype(jnp.int32)
+    hi = (jnp.searchsorted(posf, posf + dist, side="left") - 1).astype(jnp.int32)
 
-    # Scan-step overhead dominates at large capacities (one tiny vector op
-    # per peak), so process BLOCK peaks per scan step with an unrolled inner
-    # loop — identical greedy semantics, 8x fewer sequential steps.
-    BLOCK = 32
-    pad = (-cap) % BLOCK
-    order_p = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
-    jvalid = jnp.concatenate([jnp.ones((cap,), jnp.bool_),
-                              jnp.zeros((pad,), jnp.bool_)])
-    blocks = (order_p.reshape(-1, BLOCK), jvalid.reshape(-1, BLOCK))
+    def cond(state):
+        _, alive = state
+        return jnp.any(alive)
 
-    def step(keep, xs):
-        js, jv = xs
-        for i in range(BLOCK):
-            j = js[i]
-            active = keep[j] & valid[j] & jv[i]
-            within = (jnp.abs(posf - posf[j]) < dist) & (slots != j)
-            keep = jnp.where(active, keep & ~within, keep)
-        return keep, ()
+    def body(state):
+        keep, alive = state
+        t_alive = _sparse_table(jnp.where(alive, rank, big), jnp.minimum)
+        new_keep = alive & (_range_query(t_alive, lo, hi, jnp.minimum) == rank)
+        t_keep = _sparse_table(jnp.where(new_keep, rank, big), jnp.minimum)
+        killed = _range_query(t_keep, lo, hi, jnp.minimum) < big
+        alive = alive & ~new_keep & ~killed
+        return keep | new_keep, alive
 
-    keep, _ = lax.scan(step, valid, blocks)
+    keep, _ = lax.while_loop(cond, body, (jnp.zeros((cap,), jnp.bool_), valid))
     return keep & valid
 
 

@@ -298,8 +298,10 @@ def _rowwise_select_kth(wins: jnp.ndarray, valid: jnp.ndarray,
         prefix = jnp.where(take1, prefix | bit, prefix).astype(utype)
         return prefix, k
 
-    R = wins.shape[0]
-    prefix, _ = lax.fori_loop(0, nbits, body, (jnp.zeros((R,), utype), k))
+    # init derived from ``keys`` (not a fresh zeros) so its varying-manual-
+    # axes match the loop output under shard_map.
+    prefix0 = jnp.zeros_like(keys[:, 0])
+    prefix, _ = lax.fori_loop(0, nbits, body, (prefix0, k))
     return _key_to_float(prefix, dtype)
 
 

@@ -26,15 +26,30 @@ def centered_bounds(window: int) -> tuple[int, int]:
     return window // 2, (window - 1) // 2
 
 
+def _windowed_sum_fixed_order(x: jnp.ndarray, window: int, left: int,
+                              right: int) -> jnp.ndarray:
+    """Windowed sum as ``window`` shifted elementwise adds in ascending
+    sample order.  Unlike ``lax.reduce_window`` — whose in-window reduction
+    tree the compiler may reassociate differently for different array
+    lengths — elementwise dataflow has no reassociation freedom, so the sums
+    are bit-identical across padded shapes.  That is the property the
+    mixed-length batching contract rests on (tests/test_host_batch.py:
+    serial vs bucket-padded artifacts byte-equal)."""
+    n = x.shape[0]
+    xp = jnp.concatenate([jnp.zeros((left,), x.dtype), x,
+                          jnp.zeros((right,), x.dtype)])
+    acc = xp[0:n]
+    for k in range(1, window):
+        acc = acc + xp[k:k + n]
+    return acc
+
+
 def rolling_mean_centered(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """pandas ``rolling(window, min_periods=1, center=True).mean()`` on a
     1-D array with no NaNs.  Edge windows are truncated (count shrinks)."""
     left, right = centered_bounds(window)
     n = x.shape[0]
-    sums = lax.reduce_window(
-        x, jnp.zeros((), x.dtype), lax.add,
-        window_dimensions=(window,), window_strides=(1,), padding=((left, right),),
-    )
+    sums = _windowed_sum_fixed_order(x, window, left, right)
     idx = jnp.arange(n)
     counts = (jnp.minimum(idx + right, n - 1) - jnp.maximum(idx - left, 0) + 1).astype(x.dtype)
     return sums / counts
@@ -46,14 +61,8 @@ def rolling_mean_centered_masked(x: jnp.ndarray, valid: jnp.ndarray, window: int
     where a window holds no valid values (min_periods=1)."""
     left, right = centered_bounds(window)
     xz = jnp.where(valid, x, jnp.zeros((), x.dtype))
-    sums = lax.reduce_window(
-        xz, jnp.zeros((), x.dtype), lax.add,
-        window_dimensions=(window,), window_strides=(1,), padding=((left, right),),
-    )
-    counts = lax.reduce_window(
-        valid.astype(x.dtype), jnp.zeros((), x.dtype), lax.add,
-        window_dimensions=(window,), window_strides=(1,), padding=((left, right),),
-    )
+    sums = _windowed_sum_fixed_order(xz, window, left, right)
+    counts = _windowed_sum_fixed_order(valid.astype(x.dtype), window, left, right)
     return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
 
 

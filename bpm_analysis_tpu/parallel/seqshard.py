@@ -25,9 +25,11 @@ from jax import shard_map
 from ..ops.rolling import centered_bounds
 
 
-def _halo_exchange(block: jnp.ndarray, halo_left: int, halo_right: int, axis: str):
+def _halo_exchange(block: jnp.ndarray, halo_left: int, halo_right: int, axis: str,
+                   fill=0.0):
     """Fetch the right edge of the left neighbor and the left edge of the
-    right neighbor along mesh axis ``axis`` (edge devices pad with zeros)."""
+    right neighbor along mesh axis ``axis`` (edge devices pad with ``fill`` —
+    zeros for windowed sums, NaN for "missing" in quantile windows)."""
     n_dev = lax.axis_size(axis)
     idx = lax.axis_index(axis)
     # Send our right edge rightward (it becomes the receiver's left halo).
@@ -38,8 +40,10 @@ def _halo_exchange(block: jnp.ndarray, halo_left: int, halo_right: int, axis: st
     left_edge = block[:halo_right] if halo_right else block[:0]
     from_right = lax.ppermute(left_edge, axis,
                               [(i + 1, i) for i in range(n_dev - 1)])
-    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
-    from_right = jnp.where(idx == n_dev - 1, jnp.zeros_like(from_right), from_right)
+    fillv = jnp.asarray(fill, block.dtype)
+    from_left = jnp.where(idx == 0, jnp.full_like(from_left, fillv), from_left)
+    from_right = jnp.where(idx == n_dev - 1, jnp.full_like(from_right, fillv),
+                           from_right)
     return from_left, from_right
 
 
@@ -85,3 +89,91 @@ def sequence_sharded_envelope(mesh: Mesh, signal: jnp.ndarray, window: int,
         in_specs=(spec,), out_specs=spec,
     )
     return fn(signal)
+
+
+def sequence_sharded_rolling_quantile(
+    mesh: Mesh,
+    x: jnp.ndarray,
+    window: int,
+    q: float,
+    min_periods: int = 1,
+    stride: int = 8,
+    batched: bool = False,
+) -> jnp.ndarray:
+    """The noise-floor quantile (``ops.quantile.rolling_quantile_centered_strided``)
+    with the sample axis sharded over mesh axis 'sp' — the long-recording
+    path for the pipeline's heaviest kernel (reference noise floor,
+    bpm_analysis.py:1081-1106).
+
+    Each device computes the exact strided anchor quantiles for its block
+    after a ``window//2``-sample halo exchange (NaN fill at the global edges
+    == pandas truncation), then interpolates densely; the interpolation at a
+    block's last span needs its right neighbor's first anchor, fetched with a
+    second (tiny) ``ppermute``.  Matches the local kernel exactly
+    (tests/test_sharding.py)."""
+    from ..ops.quantile import _rowwise_select_kth
+
+    left, right = centered_bounds(window)
+    n = x.shape[-1]
+    sp = mesh.shape["sp"]
+    if n % sp:
+        raise ValueError(f"sample count {n} not divisible by sp={sp}")
+    block_len = n // sp
+    if block_len % stride:
+        raise ValueError(f"block length {block_len} not divisible by stride={stride}")
+    if block_len < max(left, right):
+        raise ValueError(
+            f"block length {block_len} smaller than halo {max(left, right)}")
+    na = block_len // stride
+    dtype = x.dtype
+
+    def kernel(blk):
+        from_left, from_right = _halo_exchange(blk, left, right, "sp",
+                                               fill=jnp.nan)
+        ext = jnp.concatenate([from_left, blk, from_right])
+        valid = ~jnp.isnan(ext)
+        big = jnp.finfo(dtype).max
+        extv = jnp.where(valid, ext, big)
+
+        # Anchor windows: global anchor grid positions fall at local
+        # multiples of stride because block_len % stride == 0; the window at
+        # local position p covers ext[p : p + window).
+        gidx = (jnp.arange(na)[:, None] * stride) + jnp.arange(window)[None, :]
+        wins = extv[gidx]
+        wvalid = valid[gidx]
+        counts = jnp.sum(wvalid.astype(jnp.int32), axis=1)
+        qf = jnp.asarray(q, dtype)
+        p = qf * jnp.maximum(counts - 1, 0).astype(dtype)
+        k_lo = jnp.clip(jnp.floor(p), 0, window - 1).astype(jnp.int32)
+        frac = p - k_lo.astype(dtype)
+        vlo = _rowwise_select_kth(wins, wvalid, k_lo)
+        cnt_le = jnp.sum((wvalid & (wins <= vlo[:, None])).astype(jnp.int32), axis=1)
+        above = jnp.where(wvalid & (wins > vlo[:, None]), wins,
+                          jnp.asarray(jnp.inf, dtype))
+        nxt_stat = jnp.min(above, axis=1)
+        vhi = jnp.where(cnt_le >= k_lo + 2, vlo, nxt_stat)
+        anchors = jnp.where(frac > 0, vlo + frac * (vhi - vlo), vlo)
+        anchors = jnp.where(counts >= min_periods, anchors, jnp.nan)
+
+        # Dense interpolation: each span [j*stride, (j+1)*stride) blends
+        # anchor j toward anchor j+1; the last span's right anchor lives on
+        # the right neighbor (global last block: held constant, which is
+        # exactly ``interp_anchors``' serial behavior).
+        first = anchors[:1]
+        nxt_first = lax.ppermute(first, "sp",
+                                 [(i + 1, i) for i in range(lax.axis_size("sp") - 1)])
+        is_last = lax.axis_index("sp") == lax.axis_size("sp") - 1
+        nxt_first = jnp.where(is_last, anchors[-1:], nxt_first)
+        a_ext = jnp.concatenate([anchors, nxt_first])
+        fracs = (jnp.arange(stride).astype(dtype) / stride)
+        a0 = a_ext[:-1][:, None]
+        a1 = a_ext[1:][:, None]
+        dense = jnp.where(fracs > 0, a0 + fracs * (a1 - a0), a0)
+        return dense.reshape(block_len)
+
+    spec = P(None, "sp") if batched else P("sp")
+    fn = shard_map(
+        jax.vmap(kernel) if batched else kernel, mesh=mesh,
+        in_specs=(spec,), out_specs=spec,
+    )
+    return fn(x)

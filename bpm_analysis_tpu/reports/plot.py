@@ -88,6 +88,74 @@ def _peak_groups(result, cfg, envelope, sample_rate):
     return groups
 
 
+def slope_segments(metrics) -> List[Dict]:
+    """Exertion/recovery slope segments for the figure (reference
+    ``_add_slope_traces``, bpm_analysis.py:733-780): the major incline and
+    decline lists plus the two steepest fixed-window slopes.  Shared by the
+    plotly and SVG backends."""
+    segs: List[Dict] = []
+    for name, lst in (("Exertion", metrics.inclines), ("Recovery", metrics.declines)):
+        cnt = int(lst.count)
+        for i in range(cnt):
+            segs.append({
+                "kind": name,
+                "x": (float(lst.start_time[i]), float(lst.end_time[i])),
+                "y": (float(lst.start_bpm[i]), float(lst.end_bpm[i])),
+                "duration": float(lst.duration[i]),
+                "bpm_change": float(lst.bpm_change[i]),
+                "slope": float(lst.slope[i]),
+                "first": i == 0,
+            })
+    for name, st in (("Peak Recovery Slope", metrics.peak_recovery),
+                     ("Peak Exertion Slope", metrics.peak_exertion)):
+        if bool(st.found):
+            segs.append({
+                "kind": name,
+                "x": (float(st.start_time), float(st.end_time)),
+                "y": (float(st.start_bpm), float(st.end_bpm)),
+                "duration": float(st.duration),
+                "bpm_change": float(st.end_bpm) - float(st.start_bpm),
+                "slope": float(st.slope),
+                "first": True,
+            })
+    return segs
+
+
+def summary_box_text(metrics, html_breaks=True) -> str:
+    """The summary annotation (reference ``_add_annotations_and_summary``,
+    bpm_analysis.py:695-731)."""
+    lines = ["<b>Analysis Summary</b>"]
+    if not np.isnan(float(metrics.avg_bpm)):
+        lines.append(f"Avg/Min/Max BPM: {float(metrics.avg_bpm):.1f} / "
+                     f"{float(metrics.min_bpm):.1f} / {float(metrics.max_bpm):.1f}")
+    if bool(metrics.hrr.found):
+        lines.append(f"<b>1-Min HRR: {float(metrics.hrr.hrr):.1f} BPM Drop</b>")
+    if bool(metrics.peak_recovery.found):
+        lines.append(f"<b>Peak Recovery Rate: {float(metrics.peak_recovery.slope):.2f} BPM/sec</b>")
+    if not np.isnan(float(metrics.avg_rmssdc)):
+        lines.append(f"Avg. Corrected RMSSD: {float(metrics.avg_rmssdc):.2f}")
+    if not np.isnan(float(metrics.avg_sdnn)):
+        lines.append(f"Avg. Windowed SDNN: {float(metrics.avg_sdnn):.2f} ms")
+    sep = "<br>" if html_breaks else "\n"
+    return sep.join(lines)
+
+
+def bpm_extrema(metrics):
+    """(max_bpm, max_time, min_bpm, min_time) of the smoothed curve, or None
+    (reference min/max annotations, bpm_analysis.py:697-714)."""
+    cnt = int(metrics.bpm.count)
+    if not cnt:
+        return None
+    bv = np.asarray(metrics.bpm.smoothed)[:cnt]
+    bt = np.asarray(metrics.bpm.times)[:cnt]
+    ok = ~np.isnan(bv)
+    if not ok.any():
+        return None
+    bv, bt = bv[ok], bt[ok]
+    imax, imin = int(np.argmax(bv)), int(np.argmin(bv))
+    return float(bv[imax]), float(bt[imax]), float(bv[imin]), float(bt[imin])
+
+
 def save(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
          output_directory: str):
     base = os.path.basename(os.path.splitext(file_name)[0])
@@ -163,13 +231,53 @@ def _plotly_figure(result, cfg, envelope, sample_rate, file_name):  # pragma: no
                                  line=dict(color="magenta", width=2), visible="legendonly"),
                       secondary_y=True)
 
+    # Exertion/recovery slope segments (reference bpm_analysis.py:733-780).
+    seg_style = {
+        "Exertion": dict(color="purple", width=4, dash="dash"),
+        "Recovery": dict(color="#2ca02c", width=4, dash="dash"),
+        "Peak Recovery Slope": dict(color="#ff69b4", width=5, dash="solid"),
+        "Peak Exertion Slope": dict(color="#9d32a8", width=5, dash="solid"),
+    }
+    for seg in slope_segments(m):
+        c = [seg["duration"], abs(seg["bpm_change"]), seg["slope"]]
+        fig.add_trace(go.Scatter(
+            x=dt(seg["x"]), y=list(seg["y"]), mode="lines",
+            line=seg_style[seg["kind"]], name=seg["kind"],
+            legendgroup=seg["kind"], showlegend=seg["first"],
+            visible="legendonly",
+            hovertemplate=(f"<b>{seg['kind']}</b><br>Duration: %{{customdata[0]:.1f}}s"
+                           "<br>ΔBPM: %{customdata[1]:.1f}"
+                           "<br>Slope: %{customdata[2]:.2f} BPM/sec<extra></extra>"),
+            customdata=np.array([c, c])), secondary_y=True)
+
+    # Min/max annotations + summary box (reference bpm_analysis.py:695-731).
+    ext = bpm_extrema(m)
+    if ext is not None:
+        max_bpm, max_t, min_bpm, min_t = ext
+        fig.add_annotation(x=dt([max_t])[0], y=max_bpm,
+                           text=f"Max: {max_bpm:.1f} BPM", showarrow=True,
+                           arrowhead=1, ax=20, ay=-40,
+                           font=dict(color="#e36f6f"), yref="y2")
+        fig.add_annotation(x=dt([min_t])[0], y=min_bpm,
+                           text=f"Min: {min_bpm:.1f} BPM", showarrow=True,
+                           arrowhead=1, ax=20, ay=40,
+                           font=dict(color="#a3d194"), yref="y2")
+    fig.add_annotation(text=summary_box_text(m), align="left", showarrow=False,
+                       xref="paper", yref="paper", x=0.02, y=0.98,
+                       bordercolor="black", borderwidth=1,
+                       bgcolor="rgba(255, 253, 231, 0.4)")
+
     fig.update_layout(template="plotly_dark",
                       title_text=f"Heartbeat Analysis - {os.path.basename(file_name)}",
                       dragmode="pan", hovermode="x unified",
                       legend=dict(orientation="h", yanchor="bottom", y=1.02,
                                   xanchor="right", x=1),
                       margin=dict(t=140, b=100))
-    fig.update_yaxes(title_text="Signal Amplitude", secondary_y=False)
+    # Robust amplitude axis (reference bpm_analysis.py:503-506):
+    # 95th percentile of the plotted envelope x plot_amplitude_scale_factor.
+    robust_upper = float(np.quantile(envelope[::factor], 0.95)) or 1.0
+    fig.update_yaxes(title_text="Signal Amplitude", secondary_y=False,
+                     range=[0, robust_upper * cfg.output.plot_amplitude_scale_factor])
     fig.update_yaxes(title_text="BPM / HRV", secondary_y=True, range=[50, 200])
     return fig
 
@@ -217,21 +325,53 @@ def _svg_fallback(result, cfg, envelope, sample_rate, file_name, path):
 
     title = f"Heartbeat Analysis - {os.path.basename(file_name)}"
     mm = result.metrics
-    summary = (f"Avg/Min/Max BPM: {float(mm.avg_bpm):.1f} / {float(mm.min_bpm):.1f} / "
-               f"{float(mm.max_bpm):.1f}" if not np.isnan(float(mm.avg_bpm)) else "")
+
+    # Slope segments + min/max markers + summary box — same figure features
+    # as the plotly backend (reference bpm_analysis.py:695-780).
+    seg_colors = {"Exertion": "purple", "Recovery": "#2ca02c",
+                  "Peak Recovery Slope": "#ff69b4",
+                  "Peak Exertion Slope": "#9d32a8"}
+    seg_svg = []
+    for seg in slope_segments(mm):
+        (x0, x1), (y0, y1) = seg["x"], seg["y"]
+        hover = (f"{seg['kind']}: {seg['slope']:.2f} BPM/sec over "
+                 f"{seg['duration']:.1f}s")
+        seg_svg.append(
+            f'<line class="slope-{seg["kind"].replace(" ", "-")}" '
+            f'x1="{sx(x0 * sample_rate):.1f}" y1="{sy_bpm(y0):.1f}" '
+            f'x2="{sx(x1 * sample_rate):.1f}" y2="{sy_bpm(y1):.1f}" '
+            f'stroke="{seg_colors[seg["kind"]]}" stroke-width="3" '
+            f'stroke-dasharray="6 4"><title>{html.escape(hover)}</title></line>')
+    ext = bpm_extrema(mm)
+    annot_svg = []
+    if ext is not None:
+        max_bpm, max_t, min_bpm, min_t = ext
+        annot_svg.append(
+            f'<text x="{sx(max_t * sample_rate):.1f}" y="{sy_bpm(max_bpm) - 6:.1f}"'
+            f' fill="#e36f6f" font-size="12">Max: {max_bpm:.1f} BPM</text>')
+        annot_svg.append(
+            f'<text x="{sx(min_t * sample_rate):.1f}" y="{sy_bpm(min_bpm) + 14:.1f}"'
+            f' fill="#a3d194" font-size="12">Min: {min_bpm:.1f} BPM</text>')
+    summary = summary_box_text(mm, html_breaks=True) \
+        .replace("<b>", "<strong>").replace("</b>", "</strong>")
     doc = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{html.escape(title)}</title>
-<style>body{{background:#111;color:#eee;font-family:sans-serif}}</style></head>
-<body><h2>{html.escape(title)}</h2><p>{html.escape(summary)}</p>
+<style>body{{background:#111;color:#eee;font-family:sans-serif}}
+#summary-box{{border:1px solid #888;background:rgba(255,253,231,0.1);
+display:inline-block;padding:8px;font-size:13px}}</style></head>
+<body><h2>{html.escape(title)}</h2>
+<div id="summary-box">{summary}</div>
 <svg width="{W}" height="{H}" style="background:#1a1a2e">
 <polyline points="{env_pts}" fill="none" stroke="#47a5c4" stroke-width="1"/>
 <polyline points="{floor_pts}" fill="none" stroke="green" stroke-width="1" stroke-dasharray="4 3"/>
 {''.join(marker_svg)}
 <polyline points="{bpm_pts}" fill="none" stroke="#cccccc" stroke-width="2"/>
+{''.join(seg_svg)}
+{''.join(annot_svg)}
 </svg>
 <p style="color:#888">Static fallback rendering (plotly not installed): envelope (blue),
 noise floor (green), S1/S2/noise markers (red/orange/grey, hover for the decision trace),
-smoothed BPM (white, 50-200 scale).</p>
+smoothed BPM (white, 50-200 scale), exertion/recovery slope segments, min/max annotations.</p>
 </body></html>"""
     with open(path, "w", encoding="utf-8") as f:
         f.write(doc)

@@ -42,9 +42,12 @@ def test_labeler_pairing_and_groups():
     pairs = labeler.s1_s2_pairs(labels)
     assert len(pairs) == 3
     np.testing.assert_allclose(pairs[0][2], 0.3)
+    # Reference grouping (heartbeat_labeler.py:244-308): S1 gaps < 5 s chain
+    # a group; the lone trailing S1 forms a single-S1 group that is skipped.
     groups = labeler.group_stats(labels)
-    assert len(groups) == 2
-    np.testing.assert_allclose(groups[1]["avg_delta_t"], 0.4)
+    assert len(groups) == 1
+    assert groups[0]["s1_count"] == 2
+    np.testing.assert_allclose(groups[0]["avg_delta_t"], 0.3)
 
 
 def test_labeler_save_load_roundtrip(tmp_path):
@@ -85,13 +88,15 @@ def test_labeler_http_server(tmp_path):
         assert data["bpm_t"] == [1.0, 2.0]
         body = json.dumps({"file": "rec", "labels": [
             {"time": 1.0, "bpm": 100.0, "type": "S1"},
-            {"time": 1.25, "bpm": 100.0, "type": "S2"}]}).encode()
+            {"time": 1.25, "bpm": 100.0, "type": "S2"},
+            {"time": 2.0, "bpm": 100.0, "type": "S1"},
+            {"time": 2.25, "bpm": 100.0, "type": "S2"}]}).encode()
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/api/save", data=body,
             headers={"Content-Type": "application/json"})
         out = json.load(urllib.request.urlopen(req))
         assert os.path.exists(out["saved"])
-        assert out["groups"][0]["n_pairs"] == 1
+        assert out["groups"][0]["n_pairs"] == 2
     finally:
         server.shutdown()
 
@@ -101,3 +106,107 @@ def test_webapp_batch_no_files():
 
     status, artifacts, plots, summaries = webapp.process_audio_batch([], 0)
     assert "No files" in status and artifacts == []
+
+
+def test_labeler_range_average():
+    labels = [
+        {"time": 1.0, "bpm": 100.0, "type": "S1"},
+        {"time": 1.3, "bpm": 100.0, "type": "S2"},
+        {"time": 2.0, "bpm": 104.0, "type": "S1"},
+        {"time": 2.4, "bpm": 104.0, "type": "S2"},
+        {"time": 9.0, "bpm": 110.0, "type": "S1"},
+        {"time": 9.5, "bpm": 110.0, "type": "S2"},
+    ]
+    # Range covering the first two pairs only (S1 time filter, reference
+    # heartbeat_labeler.py:219-243).
+    avg_dt, avg_bpm, pairs = labeler.avg_delta_t_in_range(labels, 0.5, 2.5)
+    assert len(pairs) == 2
+    np.testing.assert_allclose(avg_dt, (0.3 + 0.4) / 2)
+    np.testing.assert_allclose(avg_bpm, 102.0)
+    # Empty range
+    avg_dt, avg_bpm, pairs = labeler.avg_delta_t_in_range(labels, 3.0, 8.0)
+    assert avg_dt is None and pairs == []
+
+
+def test_labeler_group_stats_reference_semantics():
+    # Groups split on >=5 s gaps between consecutive S1 peaks; single-S1
+    # groups skipped (heartbeat_labeler.py:244-308).
+    labels = [
+        {"time": 1.0, "bpm": 100.0, "type": "S1"},
+        {"time": 1.3, "bpm": 100.0, "type": "S2"},
+        {"time": 2.0, "bpm": 104.0, "type": "S1"},
+        {"time": 2.4, "bpm": 104.0, "type": "S2"},
+        # 5s gap -> new group, but alone -> skipped
+        {"time": 9.0, "bpm": 110.0, "type": "S1"},
+        {"time": 9.5, "bpm": 110.0, "type": "S2"},
+    ]
+    groups = labeler.group_stats(labels, gap_threshold=5.0)
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["s1_count"] == 2 and g["n_pairs"] == 2
+    np.testing.assert_allclose(g["avg_delta_t"], 0.35)
+    np.testing.assert_allclose(g["avg_bpm"], 102.0)
+
+
+def test_labeler_range_avg_http(tmp_path):
+    import json as jsonlib
+    import threading
+    import urllib.request
+
+    labeler.Handler.directory = str(tmp_path)
+    server = labeler.ThreadingHTTPServer(("127.0.0.1", 0), labeler.Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        payload = jsonlib.dumps({
+            "labels": [
+                {"time": 1.0, "bpm": 100.0, "type": "S1"},
+                {"time": 1.25, "bpm": 100.0, "type": "S2"},
+            ],
+            "start": 0.0, "end": 2.0,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/range_avg", data=payload,
+            headers={"Content-Type": "application/json"})
+        out = jsonlib.loads(urllib.request.urlopen(req, timeout=10).read())
+        np.testing.assert_allclose(out["avg_delta_t"], 0.25)
+        assert out["n_pairs"] == 1
+    finally:
+        server.shutdown()
+
+
+def test_gui_hint_precedence(tmp_path):
+    from bpm_analysis_tpu.apps.gui import BPMApp
+    from bpm_analysis_tpu.reports import settings as settings_mod
+
+    # No saved hint -> the global hint applies.
+    assert BPMApp.resolve_hint(str(tmp_path), "a/rec.wav", 77.0) == 77.0
+    # A saved per-file hint takes precedence over the global one.
+    settings_mod.save(str(tmp_path), "rec", 123.0)
+    assert BPMApp.resolve_hint(str(tmp_path), "a/rec.wav", 77.0) == 123.0
+    # Other files keep the global hint.
+    assert BPMApp.resolve_hint(str(tmp_path), "other.wav", 77.0) == 77.0
+
+
+def test_gui_headless_smoke(tmp_path, monkeypatch):
+    """Construct the Tk app headlessly (skipped when no display/Tk)."""
+    tk = pytest.importorskip("tkinter")
+    try:
+        root = tk.Tk()
+    except Exception:
+        pytest.skip("no Tk display available")
+    from bpm_analysis_tpu.apps.gui import BPMApp, UIMessage, UIMessageType
+
+    monkeypatch.chdir(tmp_path)
+    app = BPMApp(root, output_directory=str(tmp_path / "out"))
+    assert app.current_files == []
+    app.status_var.set("x")
+    app.log_queue.put(UIMessage(UIMessageType.STATUS, "hello"))
+    app._poll_queue()
+    assert app.status_var.get() == "hello"
+    # Analyze with no files selected -> friendly status, no worker.
+    app.start_analysis()
+    assert app.worker is None
+    assert "No files" in app.status_var.get()
+    root.destroy()

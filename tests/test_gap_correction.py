@@ -14,6 +14,8 @@ from bpm_analysis_tpu.config import DEFAULT_CONFIG
 from bpm_analysis_tpu.models import envelope as envm, pipeline
 from bpm_analysis_tpu.reports import trace
 
+pytestmark = pytest.mark.slow
+
 SR = 302
 
 

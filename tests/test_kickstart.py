@@ -16,6 +16,8 @@ from bpm_analysis_tpu.config import DEFAULT_CONFIG, CompatConfig
 from bpm_analysis_tpu.models import envelope as envm, pipeline
 from bpm_analysis_tpu import types
 
+pytestmark = pytest.mark.slow
+
 SR = 302
 
 

@@ -13,6 +13,8 @@ from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
 from bpm_analysis_tpu.models import envelope as envm, pipeline
 from bpm_analysis_tpu.ops import find_peaks as fp
 
+pytestmark = pytest.mark.slow
+
 
 def _busy_signal(n=4000, period=8):
     """A comb of maxima: n/period local peaks."""

@@ -8,6 +8,8 @@ from bpm_analysis_tpu import types
 from bpm_analysis_tpu.config import DEFAULT_CONFIG
 from bpm_analysis_tpu.models import envelope as envm, pipeline
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def result(oracle):

@@ -99,3 +99,42 @@ def test_summary_parity(result):
     with open(os.path.join(GOLDEN_DIR, "vulpine_Analysis_Summary.md")) as f:
         golden = [l for l in f.read().splitlines() if not l.startswith("*Generated on")]
     assert ours == golden
+
+
+def test_plot_feature_checklist(result, tmp_path):
+    """The figure carries the reference's full feature set
+    (bpm_analysis.py:672-780): slope segments, min/max annotations, the
+    summary box, and the scaled amplitude axis — in whichever backend is
+    active (plotly when installed, the SVG fallback otherwise)."""
+    from bpm_analysis_tpu.reports import plot as plot_mod
+
+    res, env = result
+    fig, path = plot_mod.save(res, DEFAULT_CONFIG, np.asarray(env),
+                              int(res.metrics.bpm.count * 0 + 302), "vulpine.wav",
+                              str(tmp_path))
+    html_text = open(path, encoding="utf-8").read()
+
+    segs = plot_mod.slope_segments(res.metrics)
+    kinds = {s["kind"] for s in segs}
+    # The vulpine recording has exertion and recovery phases, so the steepest
+    # slopes must exist; the figure must carry every produced segment kind.
+    assert "Peak Exertion Slope" in kinds and "Peak Recovery Slope" in kinds
+    for kind in kinds:
+        assert kind in html_text, f"missing slope trace {kind!r}"
+    assert "Max:" in html_text and "Min:" in html_text
+    assert "Analysis Summary" in html_text
+    assert "1-Min HRR" in html_text
+
+    if fig is not None:  # plotly backend
+        names = {t.name for t in fig.data}
+        assert {"Audio Envelope", "Dynamic Noise Floor", "Average BPM"} <= names
+        # amplitude axis uses the configured scale factor
+        rng = fig.layout.yaxis.range
+        robust = float(np.quantile(np.asarray(env), 0.95))
+        assert abs(rng[1] - robust * DEFAULT_CONFIG.output.plot_amplitude_scale_factor) < 1e-6
+
+    ext = plot_mod.bpm_extrema(res.metrics)
+    assert ext is not None
+    max_bpm, _, min_bpm, _ = ext
+    assert f"Max: {max_bpm:.1f} BPM" in html_text
+    assert f"Min: {min_bpm:.1f} BPM" in html_text

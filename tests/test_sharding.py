@@ -10,6 +10,8 @@ from bpm_analysis_tpu.models import envelope as envm, pipeline
 from bpm_analysis_tpu.ops import rolling
 from bpm_analysis_tpu.parallel import mesh as mesh_mod, seqshard
 
+pytestmark = pytest.mark.slow
+
 TINY = AnalyzerConfig(runtime=RuntimeConfig(max_raw_peaks=512, max_troughs=512,
                                             max_candidates=256, dtype="float64"))
 
@@ -82,3 +84,45 @@ def test_seqshard_batched(devices):
     got = seqshard.sequence_sharded_envelope(m, sig, window, batched=True)
     expected = jax.vmap(lambda x: rolling.rolling_mean_centered(jnp.abs(x), window))(sig)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-12)
+
+
+def test_seqshard_noise_quantile_matches_local(devices):
+    from bpm_analysis_tpu.ops import quantile as q
+
+    m = mesh_mod.make_mesh(devices, sp=8)
+    sr = 302
+    stride = 8
+    n = ((302 * 160) // (8 * stride)) * (8 * stride)
+    rng = np.random.RandomState(3)
+    x = rng.rand(n) * 10
+    x[rng.rand(n) < 0.05] = np.nan  # missing entries, as in the trough series
+    window = int(10.0 * sr)  # the reference's noise_window_sec * sr
+    sig = jnp.asarray(x)
+
+    got = seqshard.sequence_sharded_rolling_quantile(
+        m, sig, window, 0.3, min_periods=3, stride=stride)
+    expected = q.rolling_quantile_centered_strided(
+        sig, window, 0.3, min_periods=3, stride=stride)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_seqshard_noise_quantile_batched(devices):
+    from bpm_analysis_tpu.ops import quantile as q
+
+    m = mesh_mod.make_mesh(devices, sp=4)
+    sr = 302
+    stride = 8
+    n = ((302 * 80) // (4 * stride)) * (4 * stride)
+    rng = np.random.RandomState(4)
+    x = rng.rand(2, n) * 10
+    x[rng.rand(2, n) < 0.05] = np.nan
+    window = int(10.0 * sr)
+    sig = jnp.asarray(x)
+
+    got = seqshard.sequence_sharded_rolling_quantile(
+        m, sig, window, 0.3, min_periods=3, stride=stride, batched=True)
+    expected = jax.vmap(lambda v: q.rolling_quantile_centered_strided(
+        v, window, 0.3, min_periods=3, stride=stride))(sig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-12, equal_nan=True)
