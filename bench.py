@@ -12,6 +12,7 @@ The CPU baseline is measured once (imports the reference from
 /root/reference with a plotly stub) and cached in ``bench_cpu_baseline.json``
 so repeat runs don't re-pay it; delete the file to re-measure.
 """
+import argparse
 import json
 import os
 import sys
@@ -53,7 +54,8 @@ def synth_recording(seed: int) -> np.ndarray:
     return sig.astype(np.float32)
 
 
-def measure_tpu() -> float:
+def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
+                stride: int = 64) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +67,7 @@ def measure_tpu() -> float:
 
     cfg = AnalyzerConfig(runtime=RuntimeConfig(
         max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
-        noise_quantile_stride=64, quantile_backend="xla"))
+        noise_quantile_stride=stride, quantile_backend=backend))
 
     # Same int16 quantization the CPU reference reads from its WAV, and the
     # same full preprocessing (band-pass filtfilt at the 302 Hz rate —
@@ -74,7 +76,7 @@ def measure_tpu() -> float:
         peak = np.max(np.abs(sig)) or 1.0
         return (np.int16(sig / peak * 32767)).astype(np.float32)
 
-    batch = np.stack([quantize(synth_recording(s)) for s in range(BATCH)])
+    batch = np.stack([quantize(synth_recording(s)) for s in range(batch_size)])
 
     fn = jax.jit(lambda xs: pipeline.analyze_batch(
         jax.vmap(lambda x: envm.preprocess(x, SR, cfg)[0])(xs), SR, cfg))
@@ -92,7 +94,7 @@ def measure_tpu() -> float:
         res = fn(fresh)
         np.asarray(res.final_count)  # forces completion (block is lazy on axon)
         best = min(best, time.time() - t0)
-    return BATCH * MINUTES / best, beats0
+    return batch_size * MINUTES / best, beats0
 
 
 def measure_cpu_reference() -> float:
@@ -169,7 +171,26 @@ def beat_f1(times_a, times_b, tol=0.05):
 
 
 def main():
-    tpu, beats0 = measure_tpu()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=BATCH,
+                   help="recordings per device batch (default 32)")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas", "auto"],
+                   help="noise-floor quantile backend")
+    p.add_argument("--stride", type=int, default=64,
+                   help="noise-floor quantile anchor stride")
+    p.add_argument("--sweep", action="store_true",
+                   help="print a batch-size scaling curve (8/16/32/64) as extra "
+                        "JSON lines before the headline line")
+    args = p.parse_args()
+
+    if args.sweep:
+        for b in (8, 16, 32, 64):
+            t, _ = measure_tpu(b, args.backend, args.stride)
+            print(json.dumps({"metric": "sweep", "batch": b,
+                              "value": round(t, 2), "unit": "audio-min/sec/chip"}),
+                  file=sys.stderr)
+
+    tpu, beats0 = measure_tpu(args.batch, args.backend, args.stride)
     try:
         cpu = measure_cpu_reference()
         with open(CPU_BASELINE_FILE) as f:
