@@ -53,6 +53,7 @@ def test_distance_tie_breaking():
     np.testing.assert_array_equal(got, expected)
 
 
+@pytest.mark.slow
 def test_raw_peaks_on_vulpine(oracle):
     """Raw peak finding: height = dynamic noise floor, prominence = envelope
     quantile, distance = 0.05 s (reference bpm_analysis.py:223-229)."""

@@ -32,7 +32,115 @@ which = sys.argv[1] if len(sys.argv) > 1 else "floor"
 rng = np.random.RandomState(0)
 x = np.abs(rng.randn(B, N)).astype(np.float32) * 100
 
-if which == "troughs":
+if which == "interp":
+    # interpolate_dense alone at trough capacity over the bench length.
+    from bpm_analysis_tpu.ops import series
+
+    pos = np.sort(rng.choice(N, size=4096, replace=False)).astype(np.int32)
+
+    def one(e):
+        amp = e[jnp.asarray(pos)]
+        return series.interpolate_dense(jnp.asarray(pos), amp,
+                                        jnp.int32(1400), N, dtype=e.dtype)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "ti":
+    # troughs -> interpolate_dense (no rolling quantile).
+    from bpm_analysis_tpu.ops import series
+
+    def one(e):
+        tr = fp.find_peaks(-e, 4096, prominence=jnp.float32(1.0),
+                           distance=int(0.28 * SR), work_capacity=16384)
+        t_pos = jnp.where(jnp.arange(4096) < tr.count, tr.positions, 0)
+        return series.interpolate_dense(t_pos, e[t_pos], tr.count, N,
+                                        dtype=e.dtype)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "ti_nodist":
+    # troughs WITHOUT the distance NMS -> interpolate_dense: isolates the
+    # while-loop NMS as the compile-blowup suspect.
+    from bpm_analysis_tpu.ops import series
+
+    def one(e):
+        tr = fp.find_peaks(-e, 4096, prominence=jnp.float32(1.0),
+                           work_capacity=16384)
+        t_pos = jnp.where(jnp.arange(4096) < tr.count, tr.positions, 0)
+        return series.interpolate_dense(t_pos, e[t_pos], tr.count, N,
+                                        dtype=e.dtype)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "troughs2":
+    # Cache-busting variant of "troughs" (different constants): measures the
+    # TRUE uncached compile cost of the find_peaks graph alone.
+    fn = jax.jit(jax.vmap(lambda e: fp.find_peaks(
+        -e, 4096, prominence=jnp.float32(1.1),
+        distance=int(0.29 * SR), work_capacity=16384)))
+elif which == "interp2":
+    # Cache-busting variant of "interp" (different count constant).
+    from bpm_analysis_tpu.ops import series
+
+    pos = np.sort(rng.choice(N, size=4096, replace=False)).astype(np.int32)
+
+    def one(e):
+        amp = e[jnp.asarray(pos)]
+        return series.interpolate_dense(jnp.asarray(pos), amp,
+                                        jnp.int32(1401), N, dtype=e.dtype)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "ti_noprom":
+    # troughs WITHOUT prominence (distance NMS only) -> interpolate_dense.
+    from bpm_analysis_tpu.ops import series
+
+    def one(e):
+        tr = fp.find_peaks(-e, 4096, distance=int(0.28 * SR),
+                           work_capacity=16384)
+        t_pos = jnp.where(jnp.arange(4096) < tr.count, tr.positions, 0)
+        return series.interpolate_dense(t_pos, e[t_pos], tr.count, N,
+                                        dtype=e.dtype)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "tib":
+    # ti with an optimization barrier between the stages.
+    from bpm_analysis_tpu.ops import series
+
+    def one(e):
+        tr = fp.find_peaks(-e, 4096, prominence=jnp.float32(1.0),
+                           distance=int(0.28 * SR), work_capacity=16384)
+        pos, cnt = jax.lax.optimization_barrier((tr.positions, tr.count))
+        t_pos = jnp.where(jnp.arange(4096) < cnt, pos, 0)
+        return series.interpolate_dense(t_pos, e[t_pos], cnt, N,
+                                        dtype=e.dtype)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "ir":
+    # interpolate_dense -> strided rolling quantile.
+    from bpm_analysis_tpu.ops import series
+
+    pos = np.sort(rng.choice(N, size=4096, replace=False)).astype(np.int32)
+
+    def one(e):
+        amp = e[jnp.asarray(pos)]
+        dense = series.interpolate_dense(jnp.asarray(pos), amp,
+                                         jnp.int32(1400), N, dtype=e.dtype)
+        return q.rolling_quantile_centered_strided(
+            dense, int(10.0 * SR), 0.3, min_periods=3, stride=64, chunk=1024)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "tir":
+    # troughs -> interpolate -> rolling quantile (one draft-floor pass).
+    from bpm_analysis_tpu.ops import series
+
+    def one(e):
+        tr = fp.find_peaks(-e, 4096, prominence=jnp.float32(1.0),
+                           distance=int(0.28 * SR), work_capacity=16384)
+        t_pos = jnp.where(jnp.arange(4096) < tr.count, tr.positions, 0)
+        dense = series.interpolate_dense(t_pos, e[t_pos], tr.count, N,
+                                         dtype=e.dtype)
+        return q.rolling_quantile_centered_strided(
+            dense, int(10.0 * SR), 0.3, min_periods=3, stride=64, chunk=1024)
+
+    fn = jax.jit(jax.vmap(one))
+elif which == "troughs":
     fn = jax.jit(jax.vmap(lambda e: fp.find_peaks(
         -e, 4096, prominence=jnp.float32(1.0),
         distance=int(0.28 * SR), work_capacity=16384)))
