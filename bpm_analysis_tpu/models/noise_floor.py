@@ -126,8 +126,11 @@ def dynamic_noise_floor(
             return jnp.where(idx >= last_anchor_pos, d[last_anchor_pos], d)
 
     # --- draft floor from ALL troughs --------------------------------------
+    # Troughs come out of the distance NMS, so adjacent knots are >= min_dist
+    # apart — unlocks the spacing-aware block interpolation kernel.
     dense_draft = series.interpolate_dense(t_pos, t_amp, troughs.count, n,
-                                           dtype=envelope.dtype)
+                                           dtype=envelope.dtype,
+                                           min_spacing=max(min_dist, 1))
     draft = fix_tail_span(rolling_q(mask_tail(dense_draft)))
     draft_filled = q.bfill_ffill(mask_tail(draft))
 
@@ -141,7 +144,8 @@ def dynamic_noise_floor(
 
     # --- final floor from sanitized troughs --------------------------------
     dense_final = series.interpolate_dense(sane_pos, sane_amp, sane_count, n,
-                                           dtype=envelope.dtype)
+                                           dtype=envelope.dtype,
+                                           min_spacing=max(min_dist, 1))
     final = fix_tail_span(rolling_q(mask_tail(dense_final)))
     final = q.bfill_ffill(mask_tail(final))
 

@@ -72,10 +72,16 @@ def _compact_mask(mask: jnp.ndarray, capacity: int) -> Peaks:
     return Peaks(out[:capacity], count, total > capacity)
 
 
-def _sparse_table(x: jnp.ndarray, op) -> jnp.ndarray:
-    """Table T[k, i] = op-reduction of x[i : i + 2^k] (clamped at the end)."""
+def _sparse_table(x: jnp.ndarray, op, levels: Optional[int] = None) -> jnp.ndarray:
+    """Table T[k, i] = op-reduction of x[i : i + 2^k] (clamped at the end).
+
+    ``levels`` caps the table height when every query range is known to be
+    short (range length < 2^levels) — e.g. distance-NMS neighborhoods span
+    at most 2*ceil(distance)+1 slots."""
     n = x.shape[0]
-    levels = max(1, (n - 1).bit_length())
+    if levels is None:
+        levels = max(1, (n - 1).bit_length())
+    levels = max(1, min(levels, (n - 1).bit_length() or 1))
     rows = [x]
     cur = x
     for k in range(1, levels):
@@ -199,9 +205,23 @@ def _select_by_distance(
     # min-rank alive peak, so the loop terminates in ≤ cap rounds (a handful
     # in practice).  Positions are sorted ascending, so each neighborhood is
     # a contiguous slot range answered by sparse-table range-min queries.
-    posf = positions.astype(jnp.float32)
+    # Spread padding slots beyond every real window (pairwise gaps > dist):
+    # with a shared fill position they would all land in one neighborhood,
+    # making slot ranges O(cap) and defeating the table-height cap below.
+    slots_f = jnp.arange(cap, dtype=jnp.float32)
+    base = jnp.max(jnp.where(valid, positions.astype(jnp.float32),
+                             -jnp.inf)) + dist + 1.0
+    posf = jnp.where(valid, positions.astype(jnp.float32),
+                     base + slots_f * (dist + 1.0))
     lo = jnp.searchsorted(posf, posf - dist, side="right").astype(jnp.int32)
     hi = (jnp.searchsorted(posf, posf + dist, side="left") - 1).astype(jnp.int32)
+    # Neighborhoods span <= 2*ceil(distance)+1 distinct positions, hence that
+    # many slots — cap the per-round table height accordingly (static
+    # distance only; traced distances get full-height tables).
+    if isinstance(distance, (int, float)):
+        nms_levels = (2 * int(-(-distance // 1)) + 1).bit_length()
+    else:
+        nms_levels = None
 
     def cond(state):
         _, alive = state
@@ -209,9 +229,11 @@ def _select_by_distance(
 
     def body(state):
         keep, alive = state
-        t_alive = _sparse_table(jnp.where(alive, rank, big), jnp.minimum)
+        t_alive = _sparse_table(jnp.where(alive, rank, big), jnp.minimum,
+                                levels=nms_levels)
         new_keep = alive & (_range_query(t_alive, lo, hi, jnp.minimum) == rank)
-        t_keep = _sparse_table(jnp.where(new_keep, rank, big), jnp.minimum)
+        t_keep = _sparse_table(jnp.where(new_keep, rank, big), jnp.minimum,
+                               levels=nms_levels)
         killed = _range_query(t_keep, lo, hi, jnp.minimum) < big
         alive = alive & ~new_keep & ~killed
         return keep | new_keep, alive
@@ -256,6 +278,14 @@ def find_peaks(
     if distance is not None:
         keep = _select_by_distance(pos, x[pos], valid, distance)
         pos, count = _recompact(pos, keep, n)
+        if isinstance(distance, (int, float)):
+            # Static survivor bound: spacing >= ceil(distance) caps survivors
+            # at n/ceil(distance)+1.  Slicing the slot axis here makes the
+            # prominence step (whose binary-search gathers dominate
+            # find_peaks runtime) ~4-8x cheaper at realistic capacities.
+            bound = n // max(int(-(-distance // 1)), 1) + 2
+            pos = pos[:min(work_capacity, -(-bound // 128) * 128)]
+        slot = jnp.arange(pos.shape[0])
         valid = slot < count
         pos = jnp.where(valid, pos, n - 1)
     else:
@@ -268,7 +298,11 @@ def find_peaks(
         valid = slot < count
         pos = jnp.where(valid, pos, n - 1)
 
-    out_pos = jnp.where(valid, pos, n)[:capacity].astype(jnp.int32)
+    out = jnp.where(valid, pos, n)
+    if out.shape[0] < capacity:
+        out = jnp.concatenate(
+            [out, jnp.full((capacity - out.shape[0],), n, out.dtype)])
+    out_pos = out[:capacity].astype(jnp.int32)
     overflowed = peaks.overflowed | (count > capacity)
     return Peaks(out_pos, jnp.minimum(count, capacity), overflowed)
 

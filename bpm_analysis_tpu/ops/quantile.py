@@ -389,11 +389,20 @@ def interp_anchors(anchors: jnp.ndarray, n: int, stride: int, dtype) -> jnp.ndar
 def bfill_ffill(x: jnp.ndarray) -> jnp.ndarray:
     """pandas ``.bfill().ffill()``: back-fill NaNs from the next valid value,
     then forward-fill any remaining trailing NaNs (bpm_analysis.py:1086).
-    Pure associative scans — no index gathers."""
-    from .series import _bfill_pairs, _ffill_pairs
 
+    Computed as "fetch the first valid value at or after i, else the last
+    valid value": one native ``cummax`` index scan + one gather.  The earlier
+    (value, flag)-tuple associative scans compiled fine in isolation but sent
+    the TPU compiler into a multi-minute compile when composed downstream of
+    the rolling quantile (see docs/ARCHITECTURE.md, compile-time discipline).
+    """
+    n = x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
     valid = ~jnp.isnan(x)
-    xz = jnp.where(valid, x, 0)
-    bv, bhas = _bfill_pairs(xz, valid)
-    fv, fhas = _ffill_pairs(jnp.where(bhas, bv, 0), bhas)
-    return jnp.where(fhas, fv, jnp.nan)
+    # rmax[k] = max k' <= k with valid[n-1-k']  ==>  first valid >= i, or n.
+    rmax = lax.cummax(jnp.where(jnp.flip(valid), idx, -1))
+    nxt = jnp.flip(jnp.where(rmax >= 0, (n - 1) - rmax, n))
+    last = jnp.max(jnp.where(valid, idx, -1))      # last valid overall, or -1
+    j = jnp.where(nxt < n, nxt, jnp.maximum(last, 0))
+    out = x[jnp.clip(j, 0, n - 1)]
+    return jnp.where((nxt < n) | (last >= 0), out, jnp.nan)

@@ -55,6 +55,7 @@ def interpolate_dense(
     count,
     n: int,
     dtype=jnp.float32,
+    min_spacing: int | None = None,
 ) -> jnp.ndarray:
     """Dense piecewise-linear interpolation of a sparse series.
 
@@ -64,34 +65,82 @@ def interpolate_dense(
 
     ``knot_pos`` is a fixed-capacity int array whose first ``count`` entries
     are the sorted knot positions; slots >= count are ignored.
+    ``min_spacing`` (static) asserts adjacent knots are >= that many samples
+    apart (true for trough series: the distance-NMS guarantees it) and
+    selects a much faster kernel — see below.
+
+    Implementation notes (TPU).  A dense scatter with data-dependent indices
+    sends the TPU compiler into a multi-minute compile (the original
+    scatter + fill-scan formulation made the whole noise-floor program
+    uncompilable), and a dense ``searchsorted`` over the grid compiles fine
+    but costs ~1 s per 32x181k batch in random-access gathers.  The spacing-
+    aware kernel does neither: ``searchsorted`` only at the ``S=128`` block
+    starts, then for each block gathers the <= K+2 candidate knots that can
+    possibly bracket its samples (spacing bounds K) and resolves every
+    in-block sample with broadcast compares + one-hot selects — no
+    dense-axis gathers at all.
     """
     cap = knot_pos.shape[0]
     slot = jnp.arange(cap)
     kvalid = slot < count
     pos = jnp.where(kvalid, jnp.clip(knot_pos, 0, n - 1), 0)
     val = jnp.where(kvalid, knot_val, 0).astype(dtype)
+    pos_sorted = jnp.where(kvalid, pos, n).astype(jnp.int32)  # padded tail: n
 
-    # Scatter knots onto the dense grid, then forward/backward-fill both the
-    # positions and the values with associative scans — no searchsorted, no
-    # large gathers (both are pathologically slow on TPU at 100k+ scale).
-    grid = jnp.arange(n)
-    pos_w = jnp.where(kvalid, pos, n)  # out-of-bounds for padded slots
-    dense_val = jnp.zeros((n,), dtype).at[pos_w].set(val, mode="drop")
-    dense_has = jnp.zeros((n,), jnp.bool_).at[pos_w].set(True, mode="drop")
-    dense_pos = jnp.where(dense_has, grid, 0)
+    if min_spacing is None or min_spacing < 1:
+        grid = jnp.arange(n, dtype=jnp.int32)
+        # j = index of the last knot at or before each grid position.
+        j = jnp.searchsorted(pos_sorted, grid, side="right").astype(jnp.int32) - 1
+        j0 = jnp.clip(j, 0, cap - 1)
+        has_next = (j + 1) < count
+        j1 = jnp.clip(j + 1, 0, cap - 1)
+        p0 = pos_sorted[j0]
+        v0 = val[j0]
+        p1 = jnp.where(has_next, pos_sorted[j1], p0)
+        v1 = jnp.where(has_next, val[j1], v0)
+        denom = jnp.maximum(p1 - p0, 1).astype(dtype)
+        frac = (grid - p0).astype(dtype) / denom
+        out = v0 + frac * (v1 - v0)            # past the last knot: frac*(0)
+        out = jnp.where(j >= 0, out, jnp.nan)  # before the first knot: NaN
+        return jnp.where(count > 0, out, jnp.nan)
 
-    v0, has0 = _ffill_pairs(dense_val, dense_has)
-    p0, _ = _ffill_pairs(dense_pos, dense_has)
-    v1, has1 = _bfill_pairs(dense_val, dense_has)
-    p1, _ = _bfill_pairs(dense_pos, dense_has)
+    S = 128
+    K = (S - 1) // min_spacing + 2         # knots possibly inside one block
+    nc = K + 2                              # candidates m = 0..K+1
+    nb = -(-n // S)
+    starts = jnp.arange(nb, dtype=jnp.int32) * S
+    jb = jnp.searchsorted(pos_sorted, starts, side="right").astype(jnp.int32) - 1
 
+    m = jnp.arange(nc, dtype=jnp.int32)
+    cand = jb[:, None] + m[None, :]                       # (nb, nc) knot slots
+    cvalid = (cand >= 0) & (cand < count)
+    candc = jnp.clip(cand, 0, cap - 1)
+    cpos = jnp.where(cvalid, pos_sorted[candc], n)        # (nb, nc), tiny gather
+    cval = jnp.where(cvalid, val[candc], 0)
+
+    i = starts[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]  # (nb, S)
+    # of candidates m >= 1, how many knots are <= i: j(i) = jb + inc.
+    le = (cpos[:, None, :] <= i[:, :, None]) & (m[None, None, :] >= 1)
+    inc = jnp.sum(le.astype(jnp.int32), axis=-1)          # (nb, S), in [0, K+1]
+    j = jb[:, None] + inc
+
+    def pick(sel):  # one-hot select candidate ``sel`` from cpos/cval — no gathers
+        oh = m[None, None, :] == sel[:, :, None]
+        p = jnp.sum(jnp.where(oh, cpos[:, None, :], 0), axis=-1)   # int-exact
+        v = jnp.sum(jnp.where(oh, cval[:, None, :], 0), axis=-1)
+        return p, v
+
+    p0, v0 = pick(inc)
+    has_next = (j + 1) < count
+    p1n, v1n = pick(inc + 1)
+    p1 = jnp.where(has_next, p1n, p0)
+    v1 = jnp.where(has_next, v1n, v0)
     denom = jnp.maximum(p1 - p0, 1).astype(dtype)
-    frac = (grid - p0).astype(dtype) / denom
-    interp = v0 + frac * (v1 - v0)
-    out = jnp.where(has1, interp, v0)        # past the last knot: hold value
-    out = jnp.where(has0, out, jnp.nan)      # before the first knot: NaN
+    frac = (i - p0).astype(dtype) / denom
+    out = v0 + frac * (v1 - v0)
+    out = jnp.where(j >= 0, out, jnp.nan)
     out = jnp.where(count > 0, out, jnp.nan)
-    return out
+    return out.reshape(nb * S)[:n]
 
 
 def asof(index: jnp.ndarray, values: jnp.ndarray, count, query: jnp.ndarray) -> jnp.ndarray:
