@@ -43,7 +43,13 @@ class Peaks(NamedTuple):
 
 
 def local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
-    """Boolean mask of plateau-midpoint local maxima (scipy semantics)."""
+    """Boolean mask of plateau-midpoint local maxima (scipy semantics).
+
+    The boundary checks (value before the run start / after the run end must
+    be lower) are propagated from the run boundaries with a ``2*i + bit``
+    cummax trick instead of dense data-dependent gathers — run starts are
+    increasing, so the cummax of that code carries each run's boundary flag
+    in its low bit (dense gathers cost ~60 ms per 32x181k batch on chip)."""
     n = x.shape[0]
     idx = jnp.arange(n)
     neq_prev = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
@@ -53,8 +59,13 @@ def local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
     rs = jnp.maximum(run_start, 0)
     re = jnp.minimum(run_end, n - 1)
     ok = (rs >= 1) & (re <= n - 2)
-    left_lower = x[jnp.maximum(rs - 1, 0)] < x
-    right_lower = x[jnp.minimum(re + 1, n - 1)] < x
+    prev_v = jnp.concatenate([x[:1], x[:-1]])          # x[i-1]
+    next_v = jnp.concatenate([x[1:], x[-1:]])          # x[i+1]
+    lcode = jnp.where(neq_prev, 2 * idx + (prev_v < x), -1)
+    left_lower = (lax.cummax(lcode) & 1) == 1
+    rcode = jnp.where(jnp.flip(neq_next),
+                      2 * idx + jnp.flip(next_v < x), -1)
+    right_lower = jnp.flip((lax.cummax(rcode) & 1) == 1)
     midpoint = (rs + re) // 2
     return ok & left_lower & right_lower & (idx == midpoint)
 
@@ -213,8 +224,28 @@ def _select_by_distance(
                              -jnp.inf)) + dist + 1.0
     posf = jnp.where(valid, positions.astype(jnp.float32),
                      base + slots_f * (dist + 1.0))
-    lo = jnp.searchsorted(posf, posf - dist, side="right").astype(jnp.int32)
-    hi = (jnp.searchsorted(posf, posf + dist, side="left") - 1).astype(jnp.int32)
+    # Neighborhood slot bounds.  Positions are local-maxima outputs, so
+    # adjacent slots are >= 2 samples apart and a distance window holds at
+    # most ceil(dist)/2 + 1 of them — for static distances that bounds the
+    # predecessor/successor scan to a short unrolled shifted-compare stack
+    # (a dense 16k x 16k searchsorted costs ~160 ms per 32-batch on chip).
+    win = (int(-(-distance // 1)) // 2 + 2) if isinstance(distance,
+                                                          (int, float)) else cap
+    slot_idx = jnp.arange(cap, dtype=jnp.int32)
+    if win <= 128:
+        neg, pos_inf = jnp.float32(-jnp.inf), jnp.float32(jnp.inf)
+        cnt_prev = jnp.zeros((cap,), jnp.int32)
+        cnt_next = jnp.zeros((cap,), jnp.int32)
+        for m in range(1, win + 1):
+            prev_m = jnp.concatenate([jnp.full((m,), neg), posf[:-m]])
+            cnt_prev += (prev_m > posf - dist).astype(jnp.int32)
+            next_m = jnp.concatenate([posf[m:], jnp.full((m,), pos_inf)])
+            cnt_next += (next_m < posf + dist).astype(jnp.int32)
+        lo = slot_idx - cnt_prev
+        hi = slot_idx + cnt_next
+    else:
+        lo = jnp.searchsorted(posf, posf - dist, side="right").astype(jnp.int32)
+        hi = (jnp.searchsorted(posf, posf + dist, side="left") - 1).astype(jnp.int32)
     # Neighborhoods span <= 2*ceil(distance)+1 distinct positions, hence that
     # many slots — cap the per-round table height accordingly (static
     # distance only; traced distances get full-height tables).

@@ -110,42 +110,55 @@ def _key_to_float(u: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def select_kth(x: jnp.ndarray, valid: jnp.ndarray, k) -> jnp.ndarray:
-    """Exact k-th smallest valid element — radix bisection over the bit
-    planes of the sortable key: 32 (64 for f64) masked-count passes instead
-    of a sort (TPU 1-D sorts are serial and ~500 ms at 100k elements; this
-    is pure vector reductions).  ``k`` must be < number of valid elements."""
-    utype, _, nbits = _key_info(x.dtype)
+    """Exact k-th smallest valid element — radix bisection over 4-bit digits
+    of the sortable key: 8 (16 for f64) masked-count passes instead of a sort
+    (TPU 1-D sorts are serial and ~500 ms at 100k elements).  Per round the
+    15 digit-boundary counts are a single fused (n, 15) broadcast-compare
+    sweep, so round count — the sequential-latency term that dominates on
+    chip — drops 4x vs bit-at-a-time bisection.  ``k`` must be < number of
+    valid elements."""
+    utype, itype, nbits = _key_info(x.dtype)
     keys = jnp.where(valid, _sortable_key(x), utype((1 << nbits) - 1))
     k = jnp.asarray(k, jnp.int32)
+    R = 4
+    radix = jnp.arange(1, 1 << R, dtype=utype)            # (15,)
 
     def body(i, state):
         prefix, k = state
-        b = (nbits - 1 - i).astype(utype)
-        bit = (utype(1) << b).astype(utype)
-        high_mask = (~((bit << utype(1)) - utype(1))).astype(utype)
+        sh = jnp.asarray(nbits - R * (i + 1), utype)
+        high_mask = (~((utype(1) << (sh + utype(R))) - utype(1))).astype(utype)
+        # Guard the i == 0 round: shifting by nbits is UB-ish; no high bits.
+        high_mask = jnp.where(i == 0, utype(0), high_mask)
         cand = (keys & high_mask) == (prefix & high_mask)
-        c0 = jnp.sum((cand & ((keys & bit) == 0)).astype(jnp.int32))
-        take1 = k >= c0
-        k = jnp.where(take1, k - c0, k).astype(jnp.int32)
-        prefix = jnp.where(take1, prefix | bit, prefix).astype(utype)
+        digit = ((keys >> sh) & utype((1 << R) - 1))
+        cnt = jnp.sum((cand[:, None] & (digit[:, None] < radix[None, :])),
+                      axis=0).astype(jnp.int32)           # (15,) boundary counts
+        d = jnp.sum((cnt <= k).astype(jnp.int32))         # digit of the k-th
+        below = jnp.sum(jnp.where(jnp.arange(1 << R)[1:] == d, cnt, 0))
+        k = (k - below).astype(jnp.int32)
+        prefix = (prefix | (d.astype(utype) << sh)).astype(utype)
         return prefix, k
 
-    prefix, _ = lax.fori_loop(0, nbits, body, (utype(0), k))
+    prefix, _ = lax.fori_loop(0, nbits // R, body, (utype(0), k))
     return _key_to_float(prefix, x.dtype)
 
 
 def quantile_exact(x: jnp.ndarray, q: float, valid=None) -> jnp.ndarray:
     """``np.quantile(x[valid], q)`` (linear interpolation) without sorting —
-    two radix selections."""
+    one radix selection for the lower order statistic, then the upper one in
+    two fused sweeps (duplicates spanning rank k+1 keep v_lo, else the
+    smallest valid value strictly above it)."""
     if valid is None:
         valid = ~jnp.isnan(x)
     n = jnp.sum(valid.astype(jnp.int32))
     pos = jnp.asarray(q, x.dtype) * jnp.maximum(n - 1, 0).astype(x.dtype)
     k_lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, jnp.maximum(n - 1, 0))
-    k_hi = jnp.minimum(k_lo + 1, jnp.maximum(n - 1, 0))
     frac = pos - k_lo.astype(x.dtype)
     v_lo = select_kth(x, valid, k_lo)
-    v_hi = select_kth(x, valid, k_hi)
+    cnt_le = jnp.sum((valid & (x <= v_lo)).astype(jnp.int32))
+    above = jnp.where(valid & (x > v_lo), x, jnp.asarray(jnp.inf, x.dtype))
+    nxt = jnp.min(above)
+    v_hi = jnp.where((cnt_le >= k_lo + 2) | (k_lo + 1 >= n), v_lo, nxt)
     out = jnp.where(frac > 0, v_lo + frac * (v_hi - v_lo), v_lo)
     return jnp.where(n > 0, out, jnp.nan).astype(x.dtype)
 

@@ -20,11 +20,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compile cache: the golden-pipeline tests re-jit multi-stage f64
-# programs; caching them cuts full-suite wall time by minutes on re-runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: no persistent compile cache here.  XLA:CPU's AOT cache gives ~no
+# speedup for these programs (executables mostly don't serialize) and its
+# loader has crashed the suite mid-run (SIGSEGV after a machine-feature
+# mismatch warning: "This could lead to execution errors such as SIGILL").
+# The TPU-side cache in bench/tools is unaffected and stays on.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
