@@ -405,6 +405,10 @@ def classify(
         )
         return new_carry, trace
 
+    # Scan-step economy: the transition is pure register math, so wall time
+    # is sequential-step latency; processing UNROLL slots per scan step cuts
+    # the step count 4x at the cost of a 4x larger (still tiny) step body.
+    UNROLL = 4
     slots = jnp.arange(cap)
     pos_next = jnp.concatenate([positions[1:], jnp.full((1,), n, positions.dtype)])
     env_next = jnp.concatenate([env_at[1:], env_at[-1:]])
@@ -425,7 +429,29 @@ def classify(
     )
     xs = (slots, positions.astype(jnp.int32), pos_next.astype(jnp.int32),
           env_at, env_next, strengths, strength_next, dev_at_slot, times)
-    _, trace = lax.scan(step, init, xs)
+    pad = (-cap) % UNROLL
+    if pad:
+        # Padding slots get indices >= cap >= count, so they are inactive
+        # no-ops; the other leaves just repeat their last entry.
+        def _pad(a, fill_slots=False):
+            tail = (jnp.arange(cap, cap + pad) if fill_slots
+                    else jnp.repeat(a[-1:], pad, axis=0))
+            return jnp.concatenate([a, tail])
+
+        xs = (_pad(slots, True),) + tuple(_pad(a) for a in xs[1:])
+    xsb = jax.tree_util.tree_map(
+        lambda a: a.reshape((cap + pad) // UNROLL, UNROLL, *a.shape[1:]), xs)
+
+    def blocked_step(carry, xs_u):
+        ys = []
+        for u in range(UNROLL):
+            carry, y = step(carry, jax.tree_util.tree_map(lambda a: a[u], xs_u))
+            ys.append(y)
+        return carry, jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *ys)
+
+    _, trace = lax.scan(blocked_step, init, xsb)
+    trace = jax.tree_util.tree_map(
+        lambda a: a.reshape(cap + pad, *a.shape[2:])[:cap], trace)
 
     is_beat = ((trace.peak_class == types.S1_PAIRED)
                | (trace.peak_class == types.LONE_S1_VALIDATED)

@@ -68,31 +68,36 @@ def rhythm_correction(
     median_rr = series.masked_median(rr, rr_valid)
     threshold = median_rr * cfg.correction.rr_correction_threshold_pct
 
+    # Scalar-carry scan (last kept slot/pos/amp) emitting per-slot decisions;
+    # the output list is reconstructed vectorized afterwards.  The previous
+    # formulation carried the whole (cap,) output array with one scatter per
+    # step — O(cap) work per step and most of the corrections stage's time.
     def step(carry, xs):
-        out_pos, out_len, last_pos, last_amp = carry
+        last_slot, last_pos, last_amp = carry
         i, p, a, v = xs
         interval = (p - last_pos).astype(dtype) / sr
-        conflict = interval < threshold
+        act = v & (i > 0)
+        conflict = act & (interval < threshold)
         replace = conflict & (a > last_amp)
-        drop = conflict & ~replace
-        # replace: overwrite slot out_len-1; append: write slot out_len.
-        write_idx = jnp.where(replace, out_len - 1, out_len)
-        do_write = v & (i > 0) & ~drop
-        out_pos = jnp.where(
-            do_write, out_pos.at[jnp.maximum(write_idx, 0)].set(p), out_pos
-        )
-        out_len = out_len + (do_write & ~replace).astype(jnp.int32)
-        new_last_pos = jnp.where(v & (i > 0) & ~drop, p, last_pos)
-        new_last_amp = jnp.where(v & (i > 0) & ~drop, a, last_amp)
-        return (out_pos, out_len, new_last_pos, new_last_amp), ()
+        written = act & ~(conflict & ~replace)          # drop: skip
+        victim = jnp.where(replace, last_slot, cap)     # slot unseated by p
+        last_slot = jnp.where(written, i, last_slot)
+        last_pos = jnp.where(written, p, last_pos)
+        last_amp = jnp.where(written, a, last_amp)
+        return (last_slot, last_pos, last_amp), (written, victim)
 
-    init_out = jnp.where(slot == 0, pos[0], n).astype(jnp.int32)
-    init = (init_out, jnp.asarray(1, jnp.int32), pos[0], amp[0])
-    (out_pos, out_len, _, _), _ = lax.scan(step, init, (slot, pos.astype(jnp.int32), amp, valid))
+    init = (jnp.asarray(0, jnp.int32), pos[0], amp[0])
+    _, (written, victim) = lax.scan(
+        step, init, (slot.astype(jnp.int32), pos.astype(jnp.int32), amp, valid))
+    written = written.at[0].set(count > 0)
+    unseated = jnp.zeros((cap + 1,), jnp.bool_).at[victim].set(
+        True, mode="drop")[:cap]
+    kept = written & ~unseated
+    out_pos, out_len = series.compact_valid(pos.astype(jnp.int32), kept, fill=n)
 
     # Reference skips correction entirely for < 5 peaks (bpm_analysis.py:1263).
     skip = count < 5
-    final_pos = jnp.where(skip, positions, jnp.where(jnp.arange(cap) < out_len, out_pos, n))
+    final_pos = jnp.where(skip, positions, out_pos)
     final_count = jnp.where(skip, count, out_len)
     return final_pos.astype(jnp.int32), final_count
 
@@ -184,22 +189,27 @@ def _fix_iteration(
     mpos = jnp.where(mvalid, merged, n)
     mamp = envelope[jnp.clip(mpos, 0, n - 1)]
 
-    def step(removed, i):
-        a_idx, b_idx = i, i + 1
-        in_range = active & (i >= margin) & (i < merged_count - 1 - margin)
-        both_alive = ~removed[a_idx] & ~removed[jnp.minimum(b_idx, cap - 1)]
-        interval = (mpos[jnp.minimum(b_idx, cap - 1)] - mpos[a_idx]).astype(dtype) / sr
-        conflict = in_range & both_alive & (interval < short_thresh)
-        rm_a = conflict & (mamp[jnp.minimum(b_idx, cap - 1)] > mamp[a_idx])
-        rm_b = conflict & ~rm_a
-        removed = removed.at[a_idx].set(removed[a_idx] | rm_a)
-        removed = removed.at[jnp.minimum(b_idx, cap - 1)].set(
-            removed[jnp.minimum(b_idx, cap - 1)] | rm_b
-        )
-        return removed, conflict
-
-    removed0 = jnp.zeros((cap,), jnp.bool_)
-    removed, conflicts = lax.scan(step, removed0, mslot)
+    # The reference's sequential adjacent-pair walk has a closed form.  Step
+    # i removes the weaker of (i, i+1) when both alive and too close; the
+    # only cross-step state is "was peak i removed by step i-1's rm_b" (step
+    # j only ever writes slots j and j+1).  Let C_i = static conflict
+    # predicate and E_i = "b is not stronger" (so a conflict at i removes
+    # i+1).  Then rm_b_i = (C&E)_i & ~rm_b_{i-1}: within each maximal run of
+    # (C&E) it alternates T,F,T,... from the run start — pure parity,
+    # computed with one cummax.  No scan, no per-step scatters.
+    mnext = jnp.minimum(mslot + 1, cap - 1)
+    in_range = active & (mslot >= margin) & (mslot < merged_count - 1 - margin)
+    interval = (mpos[mnext] - mpos[mslot]).astype(dtype) / sr
+    C = in_range & (interval < short_thresh)
+    E = ~(mamp[mnext] > mamp[mslot])
+    ce = C & E
+    last_non_ce = lax.cummax(jnp.where(~ce, mslot, -1))
+    prev_non_ce = jnp.concatenate([jnp.full((1,), -1), last_non_ce[:-1]])
+    rm_b = ce & (((mslot - prev_non_ce) & 1) == 1)
+    rm_b_prev = jnp.concatenate([jnp.zeros((1,), jnp.bool_), rm_b[:-1]])
+    conflicts = C & ~rm_b_prev                  # the walk's per-step conflict
+    rm_a = conflicts & ~E
+    removed = rm_a | rm_b_prev
     n_removed = jnp.sum(conflicts.astype(jnp.int32))
 
     keep = mvalid & ~removed

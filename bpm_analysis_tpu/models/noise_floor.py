@@ -56,7 +56,9 @@ def dynamic_noise_floor(
     the global quantiles."""
     n = envelope.shape[0]
     ncfg = cfg.noise
-    cap = cfg.runtime.max_troughs
+    min_dist_cap = int(cfg.features.min_peak_distance_sec * sample_rate)
+    cap = min(cfg.runtime.max_troughs,
+              fp.distance_capacity_bound(n, max(min_dist_cap, 1)))
 
     idx = jnp.arange(n)
     if n_valid is None:
@@ -67,12 +69,12 @@ def dynamic_noise_floor(
         env_m = jnp.where(valid, envelope,
                           envelope[jnp.maximum(n_valid - 1, 0)])
 
-    min_dist = int(cfg.features.min_peak_distance_sec * sample_rate)
+    min_dist = min_dist_cap
     trough_prom = q.quantile_exact(envelope, cfg.features.trough_prominence_quantile,
                                    valid=valid)
     troughs = fp.find_peaks(
         -env_m, cap, prominence=trough_prom, distance=min_dist,
-        work_capacity=4 * cap,
+        work_capacity=4 * cfg.runtime.max_troughs,
     )
     slot = jnp.arange(cap)
     t_valid = slot < troughs.count

@@ -69,8 +69,10 @@ def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
     prom = quantile_ops.quantile_exact(envelope, cfg.features.peak_prominence_quantile,
                                        valid=valid)
     dist = int(cfg.features.min_peak_distance_sec * sample_rate)
+    cap = min(cfg.runtime.max_raw_peaks,
+              fp.distance_capacity_bound(envelope.shape[0], dist))
     return fp.find_peaks(
-        env_m, cfg.runtime.max_raw_peaks, height=floor, prominence=prom,
+        env_m, cap, height=floor, prominence=prom,
         distance=dist, work_capacity=4 * cfg.runtime.max_raw_peaks,
     )
 
@@ -137,8 +139,11 @@ def analyze_envelope(envelope: jnp.ndarray, sample_rate: int,
     # with no debug info (bpm_analysis.py:115-116).
     few = peaks.count < 2
     ccap = cfg.runtime.max_candidates
+    rp = peaks.positions
+    if rp.shape[0] < ccap:
+        rp = jnp.concatenate([rp, jnp.full((ccap - rp.shape[0],), n, rp.dtype)])
     s1_pos = jnp.where(few, jnp.where(jnp.arange(ccap) < peaks.count,
-                                      peaks.positions[:ccap], n),
+                                      rp[:ccap], n),
                        res.s1_positions)
     s1_count = jnp.where(few, jnp.minimum(peaks.count, ccap), res.s1_count)
 

@@ -115,50 +115,34 @@ def _range_query(table: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, op) -> jnp.
 
 
 def _last_above(max_table: jnp.ndarray, v: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Largest i in [0, r] with x[i] > v, or -1.  Uses the monotonicity of
-    h(i) = max(x[i..r]) (non-increasing in i): the answer is the largest i
-    with h(i) > v."""
-    n = max_table.shape[1]
-
-    def h(i):
-        return _range_query(max_table, i, r, jnp.maximum)
-
-    none = h(jnp.zeros_like(r)) <= v
-    # Invariant: h(lo) > v (when not `none`); shrink [lo, hi] to a point.
-    steps = max(1, n.bit_length())
-
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi + 1) // 2
-        go_right = h(jnp.minimum(mid, r)) > v
-        lo = jnp.where(go_right, jnp.minimum(mid, r), lo)
-        hi = jnp.where(go_right, hi, mid - 1)
-        return lo, hi
-
-    lo, _ = lax.fori_loop(0, steps, body, (jnp.zeros_like(r), r))
-    return jnp.where(none, -1, lo)
+    """Largest i in [0, r] with x[i] > v, or -1 — dyadic sparse-table
+    descent: walk left from r+1, skipping each power-of-two block whose max
+    is <= v.  One aligned row-gather per level (the bisection this replaced
+    cost four scattered gathers per step)."""
+    levels = max_table.shape[0]
+    pos = r + 1                       # elements [0, pos) remain candidates
+    for k in reversed(range(levels)):  # static unroll, ~log2(n) levels
+        step = 1 << k
+        seg_max = max_table[k, jnp.maximum(pos - step, 0)]
+        move = (pos >= step) & (seg_max <= v)
+        pos = jnp.where(move, pos - step, pos)
+    return pos - 1                    # pos == 0 -> no element above v
 
 
 def _first_above(max_table: jnp.ndarray, v: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
-    """Smallest i in [l, n-1] with x[i] > v, or n."""
+    """Smallest i in [l, n-1] with x[i] > v, or n — mirror descent walking
+    right from l (table rows clamp at the array end, so a partial trailing
+    block reduces over the remaining elements, which is exactly the skip
+    test needed)."""
     n = max_table.shape[1]
-
-    def h(i):
-        return _range_query(max_table, l, i, jnp.maximum)
-
-    none = h(jnp.full_like(l, n - 1)) <= v
-    steps = max(1, n.bit_length())
-
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        go_left = h(jnp.maximum(mid, l)) > v
-        hi = jnp.where(go_left, jnp.maximum(mid, l), hi)
-        lo = jnp.where(go_left, lo, mid + 1)
-        return lo, hi
-
-    _, hi = lax.fori_loop(0, steps, body, (l, jnp.full_like(l, n - 1)))
-    return jnp.where(none, n, hi)
+    levels = max_table.shape[0]
+    pos = l
+    for k in reversed(range(levels)):
+        step = 1 << k
+        seg_max = max_table[k, jnp.minimum(pos, n - 1)]
+        move = (pos < n) & (seg_max <= v)
+        pos = jnp.minimum(jnp.where(move, pos + step, pos), n)
+    return pos                        # n -> no element above v
 
 
 def peak_prominences(
@@ -271,6 +255,15 @@ def _select_by_distance(
 
     keep, _ = lax.while_loop(cond, body, (jnp.zeros((cap,), jnp.bool_), valid))
     return keep & valid
+
+
+def distance_capacity_bound(n: int, distance) -> int:
+    """Static upper bound on distance-NMS survivors: spacing >= ceil(distance)
+    caps them at n/ceil(distance)+1 (rounded up to a 128 lane multiple).
+    Sizing peak-slot arrays with ``min(capacity, bound)`` shrinks every
+    downstream per-slot computation (classifier scan, corrections, trace)
+    with zero semantic change."""
+    return -(-(n // max(int(-(-distance // 1)), 1) + 2) // 128) * 128
 
 
 def find_peaks(
