@@ -174,7 +174,7 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=BATCH,
                    help="recordings per device batch (default 32)")
-    p.add_argument("--backend", default="xla", choices=["xla", "pallas", "auto"],
+    p.add_argument("--backend", default="auto", choices=["xla", "pallas", "auto"],
                    help="noise-floor quantile backend")
     p.add_argument("--stride", type=int, default=64,
                    help="noise-floor quantile anchor stride")

@@ -292,37 +292,33 @@ def rolling_quantile_centered(
 def _rowwise_select_kth(wins: jnp.ndarray, valid: jnp.ndarray,
                         k: jnp.ndarray) -> jnp.ndarray:
     """k_r-th smallest valid element of each row of ``wins`` ((R, W) float)
-    via joint radix bisection over 4-bit digits of the sortable key: nbits/4
-    fused compare+row-sum passes (the 15 boundary counts per round are one
-    (R, W, 15) broadcast sweep), no sorting."""
+    via joint radix bisection over the sortable-key bit planes: nbits
+    compare+row-sum passes, no sorting.  (Bit-at-a-time on purpose: this
+    kernel is compute-bound over materialized window rows, where a 4-bit
+    digit round costs 15 broadcast compares per element — a net loss.  The
+    global ``select_kth`` is reduction-latency-bound and uses 4-bit digits.)
+    """
     dtype = wins.dtype
     utype, _, nbits = _key_info(dtype)
     keys = jnp.where(valid, _sortable_key(wins), utype((1 << nbits) - 1))
     k = k.astype(jnp.int32)
-    R = 4
-    radix = jnp.arange(1, 1 << R, dtype=utype)            # (15,)
 
     def body(i, state):
         prefix, k = state
-        sh = jnp.asarray(nbits - R * (i + 1), utype)
-        high_mask = (~((utype(1) << (sh + utype(R))) - utype(1))).astype(utype)
-        high_mask = jnp.where(i == 0, utype(0), high_mask)
+        b = jnp.asarray(nbits - 1 - i, utype)
+        bit = (utype(1) << b).astype(utype)
+        high_mask = (~((bit << utype(1)) - utype(1))).astype(utype)
         cand = (keys & high_mask) == (prefix[:, None] & high_mask)
-        digit = (keys >> sh) & utype((1 << R) - 1)
-        cnt = jnp.sum(
-            (cand[:, :, None] & (digit[:, :, None] < radix[None, None, :])),
-            axis=1).astype(jnp.int32)                     # (R, 15)
-        d = jnp.sum((cnt <= k[:, None]).astype(jnp.int32), axis=1)
-        below = jnp.sum(
-            jnp.where(jnp.arange(1 << R)[None, 1:] == d[:, None], cnt, 0), axis=1)
-        k = (k - below).astype(jnp.int32)
-        prefix = (prefix | (d.astype(utype) << sh)).astype(utype)
+        c0 = jnp.sum((cand & ((keys & bit) == 0)).astype(jnp.int32), axis=1)
+        take1 = k >= c0
+        k = jnp.where(take1, k - c0, k).astype(jnp.int32)
+        prefix = jnp.where(take1, prefix | bit, prefix).astype(utype)
         return prefix, k
 
     # init derived from ``keys`` (not a fresh zeros) so its varying-manual-
     # axes match the loop output under shard_map.
     prefix0 = jnp.zeros_like(keys[:, 0])
-    prefix, _ = lax.fori_loop(0, nbits // R, body, (prefix0, k))
+    prefix, _ = lax.fori_loop(0, nbits, body, (prefix0, k))
     return _key_to_float(prefix, dtype)
 
 
