@@ -449,6 +449,10 @@ def classify(
             ys.append(y)
         return carry, jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *ys)
 
+    # NOTE: an early-exit variant (while_loop over occupied blocks writing
+    # into a preallocated trace) measured 10x SLOWER on chip — carrying the
+    # (n_blocks, UNROLL, 26-field) trace through a while_loop defeats scan's
+    # optimized ys accumulation.  Keep the full-capacity scan.
     _, trace = lax.scan(blocked_step, init, xsb)
     trace = jax.tree_util.tree_map(
         lambda a: a.reshape(cap + pad, *a.shape[2:])[:cap], trace)
