@@ -210,3 +210,20 @@ def test_gui_headless_smoke(tmp_path, monkeypatch):
     assert app.worker is None
     assert "No files" in app.status_var.get()
     root.destroy()
+
+
+def test_zipapp_build(tmp_path):
+    """One-file distribution (reference BPM_Analyzer.spec analog): the .pyz
+    builds and its embedded CLI parser responds."""
+    import subprocess
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import build_zipapp
+
+    out = build_zipapp.build(str(tmp_path / "bpm-analyzer.pyz"))
+    assert os.path.getsize(out) > 10_000
+    res = subprocess.run([_sys.executable, out, "--help"],
+                         capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0
+    assert "bpm-analyze" in res.stdout
