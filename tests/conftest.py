@@ -10,7 +10,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Single-threaded CPU codegen: long suite runs intermittently SIGSEGV inside
+# XLA:CPU backend_compile_and_load; the crash signature (in-process-history
+# dependent, same compile fine in a fresh interpreter) matches a parallel-
+# codegen race, and on this single-core machine the split is pure overhead.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
