@@ -40,8 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", action="store_true",
                    help="analyze files in device batches (mixed lengths are "
                         "bucketed+padded; artifacts identical to serial mode)")
-    p.add_argument("--batch-size", type=int, default=32,
-                   help="max recordings per device batch (default 32)")
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="max recordings per device batch (default 64 — the "
+                        "measured single-chip optimum, see bench.py)")
     p.add_argument("--dp", type=int, default=0,
                    help="shard batches over this many devices (0 = all "
                         "visible devices when >1, else unsharded)")
@@ -63,6 +64,10 @@ def main(argv=None) -> int:
         format="%(asctime)s - [%(levelname)s] - %(message)s",
         stream=sys.stdout,
     )
+
+    from ..utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     files = args.files or discover_files()
     if not files:

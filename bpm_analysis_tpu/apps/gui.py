@@ -56,6 +56,9 @@ class BPMApp:
         import tkinter as tk
         from tkinter import filedialog, ttk
 
+        from ..utils import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         self.tk = tk
         self.filedialog = filedialog
         self.root = root

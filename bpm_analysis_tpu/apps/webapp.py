@@ -6,34 +6,69 @@ artifacts (downloads, per-file plot selection, per-file summary).  Gradio is
 optional in this environment; importing this module without it raises a
 clear error at ``main()`` only.
 
-The reference also caches uploads to a HF dataset repo when ``HF_TOKEN`` is
-set (app.py:14-36); the equivalent hook here is ``UPLOAD_CACHE_DIR`` — a
-local directory copy (this build environment has no network egress).
+The reference also caches every upload to a HF dataset repo when
+``HF_TOKEN`` is set (app.py:14-36).  Both persistence hooks exist here:
+``UPLOAD_CACHE_DIR`` copies uploads to a local directory, and the remote
+HF-Hub upload runs when ``HF_TOKEN`` is set *and* huggingface_hub is
+importable (gated — this build environment has no network egress, so it is
+exercised via an injected stub in tests/test_apps.py).
 """
 from __future__ import annotations
 
 import logging
 import os
 import shutil
-from typing import List
+from typing import List, Optional
 
 from ..config import DEFAULT_CONFIG
 from ..host import analyze_any_file
 
 OUTPUTS_DIR = "processed_files"
 UPLOAD_CACHE_DIR = os.environ.get("UPLOAD_CACHE_DIR")
+# Reference app.py:12 — the dataset repo uploads are checkpointed to.
+UPLOAD_REPO_ID = os.environ.get("UPLOAD_REPO_ID", "WolfExplode/processed_files")
+
+
+def cache_file_remote(local_path: str, repo_id: str, auth_token: Optional[str]
+                      ) -> Optional[str]:
+    """HF-dataset upload checkpoint, mirroring the reference's ``Cache_files``
+    (hugging-face-space/app.py:14-36): skip without a token, skip files
+    already cached, return a status string on skip/failure and None on
+    success."""
+    if not auth_token:
+        return "Cache skipped: HF_TOKEN not available."
+    try:
+        from huggingface_hub import HfApi
+    except ImportError:
+        return "Cache skipped: huggingface_hub not installed."
+    api = HfApi()
+    filename = os.path.basename(local_path)
+    try:
+        if api.file_exists(repo_id=repo_id, filename=filename,
+                           repo_type="dataset", token=auth_token):
+            return "File already cached"
+        api.upload_file(path_or_fileobj=local_path, path_in_repo=filename,
+                        repo_id=repo_id, token=auth_token, repo_type="dataset")
+        return None
+    except Exception as e:
+        return f"Caching failed. Error: {e}"
 
 
 def cache_files(paths: List[str]) -> None:
-    """Local analog of the reference's HF-dataset upload cache."""
-    if not UPLOAD_CACHE_DIR:
-        return
-    os.makedirs(UPLOAD_CACHE_DIR, exist_ok=True)
-    for p in paths:
-        try:
-            shutil.copy(p, UPLOAD_CACHE_DIR)
-        except OSError as e:
-            logging.warning(f"upload cache copy failed for {p}: {e}")
+    """Upload-persistence hooks: local directory copy + gated HF-Hub upload."""
+    if UPLOAD_CACHE_DIR:
+        os.makedirs(UPLOAD_CACHE_DIR, exist_ok=True)
+        for p in paths:
+            try:
+                shutil.copy(p, UPLOAD_CACHE_DIR)
+            except OSError as e:
+                logging.warning(f"upload cache copy failed for {p}: {e}")
+    token = os.environ.get("HF_TOKEN")
+    if token:
+        for p in paths:
+            msg = cache_file_remote(p, UPLOAD_REPO_ID, token)
+            if msg:
+                logging.info(f"{os.path.basename(p)}: {msg}")
 
 
 def process_audio_batch(files, bpm_hint: float):

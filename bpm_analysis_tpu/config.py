@@ -197,6 +197,14 @@ class CompatConfig:
     # reproduces the golden 58.9 HRR on vulpine; False uses the clean exact
     # float-second interpolation (61.2 on the same curve).
     hrr_truncated_interp: bool = True
+    # Reference preprocess_audio writes ``*_filtered_debug.wav`` twice: once
+    # beside the wav being analyzed (bpm_analysis.py:1047-1050) and once in
+    # the output directory (:1056-1060).  In the GUI flow both resolve to the
+    # same file (the wav is already in the output dir), but a direct
+    # analyze_wav_file call on a wav elsewhere gets both copies — and some
+    # labeler setups read the beside-the-input one.  True (default)
+    # reproduces that; False writes only the output-directory copy.
+    filtered_wav_beside_input: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,13 +76,21 @@ def check_overflow(result, original_file_path: str) -> None:
 
 
 def save_filtered_wav(filtered: np.ndarray, new_rate: int,
-                      original_file_path: str, output_directory: str) -> None:
-    """``*_filtered_debug.wav`` (int16-normalized, bpm_analysis.py:1047-1050)."""
+                      original_file_path: str, output_directory: str,
+                      beside_wav_path: Optional[str] = None) -> None:
+    """``*_filtered_debug.wav`` (int16-normalized) in the output directory
+    (bpm_analysis.py:1056-1060) and — when ``beside_wav_path`` is given and
+    resolves to a different file — beside the analyzed wav too, reproducing
+    the reference's duplicate write (bpm_analysis.py:1047-1050)."""
     base = os.path.basename(os.path.splitext(original_file_path)[0])
     peak = np.max(np.abs(filtered)) or 1.0
     norm = np.int16(filtered / peak * 32767)
-    wav.write(os.path.join(output_directory, f"{base}_filtered_debug.wav"),
-              new_rate, norm)
+    out_path = os.path.join(output_directory, f"{base}_filtered_debug.wav")
+    wav.write(out_path, new_rate, norm)
+    if beside_wav_path is not None:
+        beside = f"{os.path.splitext(beside_wav_path)[0]}_filtered_debug.wav"
+        if os.path.abspath(beside) != os.path.abspath(out_path):
+            wav.write(beside, new_rate, norm)
 
 
 def render_artifacts(result, cfg: AnalyzerConfig, env_np: np.ndarray,
@@ -144,11 +152,20 @@ def analyze_wav_file(
         factor = envm.safe_downsample_factor(sample_rate, cfg)
         new_rate = sample_rate // factor if factor > 1 else sample_rate
         if cfg.preprocess.save_filtered_wav:
-            save_filtered_wav(np.asarray(filtered), new_rate, original_file_path,
-                              output_directory)
+            save_filtered_wav(
+                np.asarray(filtered), new_rate, original_file_path,
+                output_directory,
+                beside_wav_path=(wav_file_path
+                                 if cfg.compat.filtered_wav_beside_input
+                                 else None))
 
     hint = float(start_bpm_hint) if start_bpm_hint else float("nan")
     result = pipeline.analyze_envelope_jit(env, new_rate, cfg, hint)
+    # Pull the whole result to host in ONE transfer before rendering: the
+    # report renderers index trace fields per event, and doing that against
+    # device arrays costs thousands of tiny device->host roundtrips (minutes
+    # over the tunneled-TPU link; the batched path already device_gets).
+    result = jax.device_get(result)
 
     out = render_artifacts(result, cfg, np.asarray(env), new_rate,
                            original_file_path, output_directory, start_bpm_hint)

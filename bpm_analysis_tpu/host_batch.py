@@ -80,21 +80,31 @@ def _tree_row(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
 
 
-def prepare_wavs(paths: Sequence[str], output_dir: str) -> List[Tuple[str, str]]:
+def prepare_wavs(paths: Sequence[str], output_dir: str,
+                 errors: Optional[List[Tuple[str, str]]] = None
+                 ) -> List[Tuple[Optional[str], str]]:
     """Convert-or-copy each input into ``output_dir`` (gui.py:202-245).
-    Returns [(wav_path, original_path)] in input order; conversion failures
-    raise per-file at decode time instead (length-0 roster entries)."""
+    Returns [(wav_path, original_path)] in input order.  A failed conversion
+    is isolated per file (the batch keeps going, matching serial mode's
+    per-file rosters): its entry carries ``wav_path=None`` and a message is
+    appended to ``errors``."""
     os.makedirs(output_dir, exist_ok=True)
-    out = []
+    out: List[Tuple[Optional[str], str]] = []
     for p in paths:
         base, ext = os.path.splitext(os.path.basename(p))
         target = os.path.join(output_dir, f"{base}.wav")
-        if ext.lower() == ".wav":
-            if os.path.abspath(target) != os.path.abspath(p):
-                shutil.copyfile(p, target)
-        else:
-            if not host.convert_to_wav(p, target):
-                raise RuntimeError(f"conversion failed for {p}")
+        try:
+            if ext.lower() == ".wav":
+                if os.path.abspath(target) != os.path.abspath(p):
+                    shutil.copyfile(p, target)
+            elif not host.convert_to_wav(p, target):
+                raise RuntimeError("conversion failed")
+        except Exception as e:
+            logging.warning(f"conversion failed for {p}: {e}")
+            if errors is not None:
+                errors.append((p, str(e)))
+            out.append((None, p))
+            continue
         out.append((target, p))
     return out
 
@@ -104,7 +114,7 @@ def analyze_files_batched(
     cfg: AnalyzerConfig = DEFAULT_CONFIG,
     output_dir: str = "processed_files",
     hints: Optional[Sequence[Optional[float]]] = None,
-    max_batch: int = 32,
+    max_batch: int = 64,
     min_bucket: int = 1 << 15,
     pre_filtered: bool = False,
     render: bool = True,
@@ -124,16 +134,32 @@ def analyze_files_batched(
     if hints is None:
         hints = [None] * len(paths)
 
-    pairs = prepare_wavs(paths, output_dir)
+    pairs = prepare_wavs(paths, output_dir, errors)
+
+    # Serial mode raises for recordings too short to odd-extend in filtfilt
+    # (ops/filter.py); reject them here at probe time so the masked batch
+    # program never sees a traced n_valid <= padlen (which would clamp the
+    # extension indices and silently produce garbage).
+    padlen = 3 * (2 * cfg.preprocess.bandpass_order + 1)
 
     # --- probe + bucket ------------------------------------------------------
     groups: Dict[Tuple[int, int], List[int]] = {}
     meta = []
     for i, (wav_path, orig) in enumerate(pairs):
+        if wav_path is None:
+            meta.append(None)  # conversion failure already on the roster
+            continue
         try:
             sr, nframes = wav.probe(wav_path)
             if nframes < 16:
                 raise ValueError("empty or near-empty recording")
+            if not pre_filtered:
+                factor = envm.safe_downsample_factor(sr, cfg)
+                n_dec = -(-nframes // factor) if factor > 1 else nframes
+                if n_dec <= padlen:
+                    raise ValueError(
+                        f"decimated length {n_dec} must exceed filter padlen "
+                        f"{padlen} (recording too short at rate {sr})")
             meta.append((sr, nframes))
             groups.setdefault((sr, length_bucket(nframes, min_bucket)), []).append(i)
         except Exception as e:
@@ -203,7 +229,11 @@ def analyze_files_batched(
                         if (filt_np is not None
                                 and cfg.preprocess.save_filtered_wav):
                             host.save_filtered_wav(
-                                filt_np[slot][:nv_dec], new_rate, orig, output_dir)
+                                filt_np[slot][:nv_dec], new_rate, orig, output_dir,
+                                beside_wav_path=(
+                                    pairs[chunk[row]][0]
+                                    if cfg.compat.filtered_wav_beside_input
+                                    else None))
                         out = host.render_artifacts(
                             res_i, cfg, env_np[slot][:nv_dec], new_rate, orig,
                             output_dir, hints[chunk[row]])
@@ -222,11 +252,14 @@ def analyze_files_batched(
 def _analyze_prefiltered_batch(audio, hints, n_valid, sample_rate: int,
                                cfg: AnalyzerConfig):
     """Bucket runner for already-filtered inputs (``*_filtered_debug.wav``):
-    envelope straight from the signal, no decimation (n_valid unchanged)."""
+    envelope straight from the signal, no decimation (n_valid unchanged).
+    The filtered leaf is None: serial mode deliberately writes no
+    ``*_filtered_debug.wav`` for pre-filtered inputs (host.analyze_wav_file),
+    and the batched path must match that artifact contract."""
 
     def one(x, h, nv):
         env = envm.envelope_from_filtered(x, sample_rate, n_valid=nv)
         res = pipeline.analyze_envelope(env, sample_rate, cfg, h, n_valid=nv)
-        return env, x, nv, res
+        return env, None, nv, res
 
     return jax.vmap(one)(audio, hints, n_valid)

@@ -26,6 +26,15 @@ def centered_bounds(window: int) -> tuple[int, int]:
     return window // 2, (window - 1) // 2
 
 
+# Above this window size the shifted-adds formulation is emitted as a
+# reduce_window instead: the unroll produces ``window`` HLO adds, which for a
+# native-rate envelope window (e.g. 44.1 kHz -> 4410 adds) is a program-size /
+# compile-time blow-up.  The bit-identical-across-padded-shapes contract the
+# unroll exists for only matters at the decimated rate (~30-sample windows on
+# the batched path), far below the cap.
+_UNROLL_CAP = 256
+
+
 def _windowed_sum_fixed_order(x: jnp.ndarray, window: int, left: int,
                               right: int) -> jnp.ndarray:
     """Windowed sum as ``window`` shifted elementwise adds in ascending
@@ -35,6 +44,11 @@ def _windowed_sum_fixed_order(x: jnp.ndarray, window: int, left: int,
     are bit-identical across padded shapes.  That is the property the
     mixed-length batching contract rests on (tests/test_host_batch.py:
     serial vs bucket-padded artifacts byte-equal)."""
+    if window > _UNROLL_CAP:
+        return lax.reduce_window(
+            x, jnp.zeros((), x.dtype), lax.add,
+            window_dimensions=(window,), window_strides=(1,),
+            padding=((left, right),))
     n = x.shape[0]
     xp = jnp.concatenate([jnp.zeros((left,), x.dtype), x,
                           jnp.zeros((right,), x.dtype)])
