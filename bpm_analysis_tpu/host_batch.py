@@ -26,6 +26,7 @@ import functools
 import logging
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -171,79 +172,104 @@ def analyze_files_batched(
     if mesh is not None:
         dp = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
-    # --- per bucket: decode, pad, run, render --------------------------------
+    # --- chunk work list -----------------------------------------------------
+    chunks: List[Tuple[int, int, List[int]]] = []
     for (sr, bucket_len), idxs in sorted(groups.items()):
         for chunk_start in range(0, len(idxs), max_batch):
-            chunk = idxs[chunk_start:chunk_start + max_batch]
-            b = batch_bucket(len(chunk), max_batch)
-            if mesh is not None:
-                b = max(b, dp)
-                b = -(-b // dp) * dp
-            wav_paths = [pairs[i][0] for i in chunk]
-            buf, rates, lengths = native.decode_batch_f32(wav_paths, bucket_len)
-            ok_rows = []
-            for row, i in enumerate(chunk):
-                if lengths[row] <= 0:
-                    errors.append((pairs[i][1], "decode failed"))
-                else:
-                    ok_rows.append(row)
-            if not ok_rows:
-                continue
+            chunks.append((sr, bucket_len, idxs[chunk_start:chunk_start + max_batch]))
 
-            audio = np.zeros((b, bucket_len), np.float32)
-            n_valid = np.full((b,), int(lengths[ok_rows[0]]), np.int32)
-            hint_arr = np.full((b,), np.nan, np.float32)
-            for slot, row in enumerate(ok_rows):
-                audio[slot] = buf[row]
-                n_valid[slot] = int(lengths[row])
-                h = hints[chunk[row]]
-                hint_arr[slot] = np.nan if not h else float(h)
-            # batch padding rows duplicate row 0 (results discarded).
-            for slot in range(len(ok_rows), b):
-                audio[slot] = audio[0]
-                n_valid[slot] = n_valid[0]
-
-            if pre_filtered:
-                run = _analyze_prefiltered_batch
+    def stage_chunk(sr: int, bucket_len: int, chunk: List[int]):
+        """Decode + pad + host->device transfer for one chunk.  Runs on the
+        staging thread while the previous chunk computes on device (JAX
+        dispatch is thread-safe; ``device_put`` only enqueues the DMA), so
+        input staging overlaps device compute.  Returns (chunk, ok_rows,
+        device_args, staging_errors) — errors are merged on the main thread
+        to keep the roster order deterministic."""
+        staging_errors: List[Tuple[str, str]] = []
+        b = batch_bucket(len(chunk), max_batch)
+        if mesh is not None:
+            b = max(b, dp)
+            b = -(-b // dp) * dp
+        wav_paths = [pairs[i][0] for i in chunk]
+        buf, rates, lengths = native.decode_batch_f32(wav_paths, bucket_len)
+        ok_rows = []
+        for row, i in enumerate(chunk):
+            if lengths[row] <= 0:
+                staging_errors.append((pairs[i][1], "decode failed"))
             else:
-                run = _analyze_padded_batch
-            args = (jnp.asarray(audio), jnp.asarray(hint_arr),
-                    jnp.asarray(n_valid))
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                ok_rows.append(row)
+        if not ok_rows:
+            return chunk, ok_rows, None, staging_errors
 
-                shard = NamedSharding(mesh, P(mesh.axis_names))
-                args = tuple(jax.device_put(a, shard) for a in args)
-            env_b, filt_b, nvd_b, res_b = run(*args, sr, cfg)
+        audio = np.zeros((b, bucket_len), np.float32)
+        n_valid = np.full((b,), int(lengths[ok_rows[0]]), np.int32)
+        hint_arr = np.full((b,), np.nan, np.float32)
+        for slot, row in enumerate(ok_rows):
+            audio[slot] = buf[row]
+            n_valid[slot] = int(lengths[row])
+            h = hints[chunk[row]]
+            hint_arr[slot] = np.nan if not h else float(h)
+        # batch padding rows duplicate row 0 (results discarded).
+        for slot in range(len(ok_rows), b):
+            audio[slot] = audio[0]
+            n_valid[slot] = n_valid[0]
 
-            new_rate = sr if pre_filtered else _post_rate(sr, cfg)
-            env_np = np.asarray(env_b)
-            filt_np = None if filt_b is None else np.asarray(filt_b)
-            nvd_np = np.asarray(nvd_b)
-            for slot, row in enumerate(ok_rows):
-                orig = pairs[chunk[row]][1]
-                res_i = jax.device_get(_tree_row(res_b, slot))
-                nv_dec = int(nvd_np[slot])
-                try:
-                    if render:
-                        if (filt_np is not None
-                                and cfg.preprocess.save_filtered_wav):
-                            host.save_filtered_wav(
-                                filt_np[slot][:nv_dec], new_rate, orig, output_dir,
-                                beside_wav_path=(
-                                    pairs[chunk[row]][0]
-                                    if cfg.compat.filtered_wav_beside_input
-                                    else None))
-                        out = host.render_artifacts(
-                            res_i, cfg, env_np[slot][:nv_dec], new_rate, orig,
-                            output_dir, hints[chunk[row]])
-                    else:
-                        host.check_overflow(res_i, orig)
-                        out = res_i if bool(res_i.ok) else None
-                    results[orig] = out
-                except Exception as e:
-                    logging.exception(f"post-processing failed for {orig}")
-                    errors.append((orig, str(e)))
+        args = (jnp.asarray(audio), jnp.asarray(hint_arr),
+                jnp.asarray(n_valid))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P(mesh.axis_names))
+            args = tuple(jax.device_put(a, shard) for a in args)
+        return chunk, ok_rows, args, staging_errors
+
+    def process_chunk(sr: int, staged) -> None:
+        chunk, ok_rows, args, staging_errors = staged
+        errors.extend(staging_errors)
+        if args is None:
+            return
+        run = _analyze_prefiltered_batch if pre_filtered else _analyze_padded_batch
+        env_b, filt_b, nvd_b, res_b = run(*args, sr, cfg)
+
+        new_rate = sr if pre_filtered else _post_rate(sr, cfg)
+        env_np = np.asarray(env_b)
+        filt_np = None if filt_b is None else np.asarray(filt_b)
+        nvd_np = np.asarray(nvd_b)
+        res_np = jax.device_get(res_b)
+        for slot, row in enumerate(ok_rows):
+            orig = pairs[chunk[row]][1]
+            res_i = _tree_row(res_np, slot)
+            nv_dec = int(nvd_np[slot])
+            try:
+                if render:
+                    if (filt_np is not None
+                            and cfg.preprocess.save_filtered_wav):
+                        host.save_filtered_wav(
+                            filt_np[slot][:nv_dec], new_rate, orig, output_dir,
+                            beside_wav_path=(
+                                pairs[chunk[row]][0]
+                                if cfg.compat.filtered_wav_beside_input
+                                else None))
+                    out = host.render_artifacts(
+                        res_i, cfg, env_np[slot][:nv_dec], new_rate, orig,
+                        output_dir, hints[chunk[row]])
+                else:
+                    host.check_overflow(res_i, orig)
+                    out = res_i if bool(res_i.ok) else None
+                results[orig] = out
+            except Exception as e:
+                logging.exception(f"post-processing failed for {orig}")
+                errors.append((orig, str(e)))
+
+    # --- double-buffered pipeline: stage chunk k+1 while chunk k computes ----
+    if chunks:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(stage_chunk, *chunks[0])
+            for ci in range(len(chunks)):
+                staged = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = pool.submit(stage_chunk, *chunks[ci + 1])
+                process_chunk(chunks[ci][0], staged)
 
     return results, errors
 
