@@ -1,21 +1,34 @@
 """Benchmark: batched 10-minute PCG analysis throughput on one TPU chip.
 
-Measures the BASELINE.json headline metric — audio-min/sec/chip on batched
-10-minute recordings with auto initial-BPM estimation (configs[4]) — and
-compares against the reference CPU engine (engine stages only, reports
-excluded on both sides) on the same synthetic recording.
+Two numbers, both against the reference CPU engine (BASELINE.json north
+star / configs[4]):
+
+* **engine** — device-side analysis throughput on batched 10-min recordings
+  at the decimated 302 Hz rate (engine stages only, reports excluded on both
+  sides).  This is the headline `value`.
+* **end-to-end native-rate** — the configs[4] pipeline as written: 64x
+  10-min recordings at 44.1 kHz on disk, host-decoded by the native C++
+  loader, staged to device and analyzed by ``host_batch.analyze_files_
+  batched`` (decimation + band-pass + full pipeline on device), timed
+  END-TO-END including decode and staging (transfer/compute overlap via the
+  double-buffered front-end).  Reported under ``end_to_end_native_rate``.
+
+Accuracy (north star: beat F1 >= 0.99 AND BPM MAE < 0.5 vs the CPU
+reference) is measured on ``ACCURACY_SEEDS`` recordings per configuration
+against reference beats/curves computed by importing the reference engine
+from /root/reference (deterministic pure numpy/pandas — cached in
+``bench_cpu_baseline.json`` / ``bench_cpu_native.json``; delete to
+re-measure).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "audio-min/sec/chip", "vs_baseline": N}
-
-The CPU baseline is measured once (imports the reference from
-/root/reference with a plotly stub) and cached in ``bench_cpu_baseline.json``
-so repeat runs don't re-pay it; delete the file to re-measure.
+  {"metric": "...", "value": N, "unit": "audio-min/sec/chip",
+   "vs_baseline": N, ...accuracy keys..., "end_to_end_native_rate": {...}}
 """
 import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -23,16 +36,22 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CPU_BASELINE_FILE = os.path.join(REPO, "bench_cpu_baseline.json")
+CPU_NATIVE_FILE = os.path.join(REPO, "bench_cpu_native.json")
 
 SR = 302
+NATIVE_SR = 44100
 MINUTES = 10
 N_SAMPLES = SR * 60 * MINUTES
 BATCH = 64
+NATIVE_FILES = 64
+NATIVE_BATCH = 16          # (16, 2^25) f32 chunks keep HBM headroom
+ACCURACY_SEEDS = 4
 
 
 def synth_recording(seed: int) -> np.ndarray:
-    """Synthetic band-passed phonocardiogram: S1/S2 pulse train following an
-    exertion/recovery HR profile (80 → 170 → 95 BPM), light noise."""
+    """Synthetic band-passed phonocardiogram at the decimated 302 Hz rate:
+    S1/S2 pulse train following an exertion/recovery HR profile
+    (80 -> 170 -> 95 BPM), light noise."""
     rng = np.random.RandomState(seed)
     t = np.arange(N_SAMPLES) / SR
     dur = t[-1]
@@ -54,62 +73,67 @@ def synth_recording(seed: int) -> np.ndarray:
     return sig.astype(np.float32)
 
 
-def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
-                stride: int = 64) -> float:
-    import jax
-    import jax.numpy as jnp
+def synth_recording_native(seed: int, sr: int = NATIVE_SR) -> np.ndarray:
+    """The same synthetic phonocardiogram family at a native recording rate:
+    the pulse kernel is the continuous-time version of the 302 Hz one
+    (decay tau = 7/302 s, carrier 0.85*302/2pi ~ 40.9 Hz, duration
+    36/302 s), so the reference's stride decimation recovers an equivalent
+    302 Hz signal."""
+    rng = np.random.RandomState(10_000 + seed)
+    n = sr * 60 * MINUTES
+    t = np.arange(n) / sr
+    dur = t[-1]
+    walk = rng.standard_normal(n).cumsum() * (1e-4 / np.sqrt(sr / SR))
+    hr = np.interp(t, [0, dur * 0.3, dur * 0.5, dur * 0.8, dur],
+                   [80, 170, 150, 95, 95]) + walk
+    hr = np.clip(hr, 60, 200)
+    phase = np.cumsum(hr / 60.0 / sr)
+    beats = np.nonzero(np.diff(np.floor(phase), prepend=0.0) > 0)[0]
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    taps = int(round(36 / SR * sr))
+    kt = np.arange(taps) / sr
+    kernel = (np.exp(-kt * SR / 7.0)
+              * np.cos(2 * np.pi * (0.85 * SR / (2 * np.pi)) * kt)).astype(np.float32)
 
-    from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
-    from bpm_analysis_tpu.models import envelope as envm, pipeline
-
-    cfg = AnalyzerConfig(runtime=RuntimeConfig(
-        max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
-        noise_quantile_stride=stride, quantile_backend=backend))
-
-    # Same int16 quantization the CPU reference reads from its WAV, and the
-    # same full preprocessing (band-pass filtfilt at the 302 Hz rate —
-    # downsample clamps to 1) so both engines see identical signals.
-    def quantize(sig):
-        peak = np.max(np.abs(sig)) or 1.0
-        return (np.int16(sig / peak * 32767)).astype(np.float32)
-
-    batch = np.stack([quantize(synth_recording(s)) for s in range(batch_size)])
-
-    fn = jax.jit(lambda xs: pipeline.analyze_batch(
-        jax.vmap(lambda x: envm.preprocess(x, SR, cfg)[0])(xs), SR, cfg))
-
-    # Warmup / compile.
-    res = fn(jnp.asarray(batch))
-    counts = np.asarray(res.final_count)
-    assert (counts > 100).all(), f"bench sanity: too few beats {counts[:4]}"
-    beats0 = np.asarray(res.final_positions[0])[: counts[0]] / SR
-
-    best = float("inf")
-    for i in range(3):
-        fresh = jnp.asarray(batch + np.float32(i + 1) * 1e-3)
-        # Ensure the host->device transfer has completed before the clock
-        # starts (jnp.asarray stages asynchronously; production overlaps
-        # transfers with compute via the batched front-end).
-        np.asarray(jnp.sum(fresh))
-        t0 = time.time()
-        res = fn(fresh)
-        np.asarray(res.final_count)  # forces completion (block is lazy on axon)
-        best = min(best, time.time() - t0)
-    return batch_size * MINUTES / best, beats0
+    sig = (rng.standard_normal(n) * 8.0).astype(np.float32)
+    rr = 60.0 / hr[beats] * sr
+    s2 = (beats + 0.33 * rr).astype(np.int64)
+    for pos, amp in [(beats, 1000.0), (s2[s2 < n], 450.0)]:
+        amps = amp * (1 + 0.1 * rng.randn(len(pos))).astype(np.float32)
+        for p, a in zip(pos, amps):
+            end = min(p + taps, n)
+            sig[p:end] += a * kernel[: end - p]
+    return sig
 
 
-def measure_cpu_reference() -> float:
-    """Reference engine throughput (audio-min/sec) on one synthetic
-    recording, engine stages only (preprocess → noise floor → prelim →
-    classifier → corrections → metrics)."""
-    if os.path.exists(CPU_BASELINE_FILE):
-        with open(CPU_BASELINE_FILE) as f:
-            return json.load(f)["audio_min_per_sec"]
+def _quantize_int16(sig: np.ndarray) -> np.ndarray:
+    peak = np.max(np.abs(sig)) or 1.0
+    return np.int16(sig / peak * 32767)
 
-    import tempfile
+
+def native_files_dir() -> str:
+    return os.path.join(tempfile.gettempdir(), "bpm_bench_native_v1")
+
+
+def write_native_files(n_files: int = NATIVE_FILES) -> list:
+    """Synthesize the configs[4] fleet: n 10-min 44.1 kHz int16 WAVs.
+    Idempotent (reused across bench runs on the same machine)."""
+    from bpm_analysis_tpu.io import wav as wavio
+
+    d = native_files_dir()
+    os.makedirs(d, exist_ok=True)
+    paths = []
+    for seed in range(n_files):
+        p = os.path.join(d, f"rec_{seed:02d}.wav")
+        if not os.path.exists(p):
+            wavio.write(p, NATIVE_SR, _quantize_int16(synth_recording_native(seed)))
+        paths.append(p)
+    return paths
+
+
+# --- reference engine ------------------------------------------------------
+
+def _import_reference():
     import types as pytypes
 
     # Stub plotly (reference imports it at module scope; not installed here).
@@ -123,39 +147,99 @@ def measure_cpu_reference() -> float:
         plotly.subplots = subplots
         sys.modules.update({"plotly": plotly, "plotly.graph_objects": go,
                             "plotly.subplots": subplots})
-    sys.path.insert(0, "/root/reference")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
     import bpm_analysis as ref
     import config as ref_config
 
-    from bpm_analysis_tpu.io import wav as wavio
+    return ref, ref_config
 
-    sig = synth_recording(0)
+
+def _run_reference_engine(wav_path: str, workdir: str) -> dict:
+    """Reference engine stages on one wav file (preprocess -> noise floor ->
+    prelim -> classifier -> corrections -> metrics).  Returns elapsed seconds
+    plus beat times and the smoothed BPM curve (the accuracy oracle)."""
+    ref, ref_config = _import_reference()
     params = dict(ref_config.DEFAULT_PARAMS)
     params["save_filtered_wav"] = False
+
+    t0 = time.time()
+    envelope, sr2 = ref.preprocess_audio(wav_path, params, workdir)
+    floor, troughs = ref._calculate_dynamic_noise_floor(envelope, sr2, params)
+    start_bpm, pk, rec = ref._run_preliminary_pass(envelope, sr2, params, floor,
+                                                   troughs, None)
+    clf = ref.PeakClassifier(envelope, sr2, params, start_bpm, floor, troughs, pk, rec)
+    s1, raw, analysis = clf.classify_peaks()
+    final, analysis = ref._refine_and_correct_peaks(s1, raw, analysis, envelope,
+                                                    sr2, params)
+    series, times = ref.calculate_bpm_series(np.asarray(final), sr2, params)
+    ref._calculate_final_metrics(final, sr2, params)
+    elapsed = time.time() - t0
+
+    return {
+        "elapsed_sec": elapsed,
+        "beat_times": (np.asarray(final) / sr2).tolist(),
+        "bpm_times": np.asarray(times, dtype=float).tolist(),
+        "bpm_values": np.asarray(series.values, dtype=float).tolist(),
+    }
+
+
+def measure_cpu_reference() -> dict:
+    """Reference throughput + per-seed accuracy oracles on the 302 Hz
+    synthetic batch (engine stages only).  Cached; the oracles are
+    deterministic numpy so the cache is machine-independent."""
+    if os.path.exists(CPU_BASELINE_FILE):
+        with open(CPU_BASELINE_FILE) as f:
+            data = json.load(f)
+        if "per_seed" in data and len(data["per_seed"]) >= ACCURACY_SEEDS:
+            return data
+
+    from bpm_analysis_tpu.io import wav as wavio
+
+    per_seed = {}
+    elapsed0 = None
     with tempfile.TemporaryDirectory() as td:
-        path = os.path.join(td, "bench.wav")
-        peak = np.max(np.abs(sig)) or 1.0
-        wavio.write(path, SR, np.int16(sig / peak * 32767))
+        for seed in range(ACCURACY_SEEDS):
+            path = os.path.join(td, f"bench_{seed}.wav")
+            wavio.write(path, SR, _quantize_int16(synth_recording(seed)))
+            rec = _run_reference_engine(path, td)
+            per_seed[str(seed)] = rec
+            if seed == 0:
+                elapsed0 = rec["elapsed_sec"]
 
-        t0 = time.time()
-        envelope, sr2 = ref.preprocess_audio(path, params, td)
-        floor, troughs = ref._calculate_dynamic_noise_floor(envelope, sr2, params)
-        start_bpm, pk, rec = ref._run_preliminary_pass(envelope, sr2, params, floor,
-                                                       troughs, None)
-        clf = ref.PeakClassifier(envelope, sr2, params, start_bpm, floor, troughs, pk, rec)
-        s1, raw, analysis = clf.classify_peaks()
-        final, analysis = ref._refine_and_correct_peaks(s1, raw, analysis, envelope,
-                                                        sr2, params)
-        ref._calculate_final_metrics(final, sr2, params)
-        elapsed = time.time() - t0
-
-    value = MINUTES / elapsed
+    data = {"audio_min_per_sec": MINUTES / elapsed0,
+            "elapsed_sec_per_10min_file": elapsed0,
+            "per_seed": per_seed}
     with open(CPU_BASELINE_FILE, "w") as f:
-        json.dump({"audio_min_per_sec": value, "elapsed_sec_per_10min_file": elapsed,
-                   "final_beat_times_sec": (np.asarray(final) / sr2).tolist()},
-                  f, indent=2)
-    return value
+        json.dump(data, f)
+    return data
 
+
+def measure_cpu_native(native_paths: list) -> dict:
+    """Reference throughput + oracles on the native-rate files, including
+    its own host decode (scipy wavfile read) — the end-to-end baseline."""
+    if os.path.exists(CPU_NATIVE_FILE):
+        with open(CPU_NATIVE_FILE) as f:
+            data = json.load(f)
+        if len(data.get("per_seed", {})) >= ACCURACY_SEEDS:
+            return data
+
+    per_seed = {}
+    total = 0.0
+    with tempfile.TemporaryDirectory() as td:
+        for seed in range(ACCURACY_SEEDS):
+            rec = _run_reference_engine(native_paths[seed], td)
+            per_seed[str(seed)] = rec
+            total += rec["elapsed_sec"]
+
+    data = {"audio_min_per_sec": ACCURACY_SEEDS * MINUTES / total,
+            "per_seed": per_seed}
+    with open(CPU_NATIVE_FILE, "w") as f:
+        json.dump(data, f)
+    return data
+
+
+# --- accuracy metrics ------------------------------------------------------
 
 def beat_f1(times_a, times_b, tol=0.05):
     """Beat-level F1 with a time-match tolerance (BASELINE accuracy metric)."""
@@ -174,6 +258,149 @@ def beat_f1(times_a, times_b, tol=0.05):
     return 2 * precision * recall / max(precision + recall, 1e-9)
 
 
+def bpm_mae(ref_times, ref_values, times, values) -> float:
+    """MAE of the smoothed BPM curve vs the reference curve, evaluated at the
+    reference's beat times (BASELINE north-star: MAE < 0.5)."""
+    ref_times = np.asarray(ref_times, float)
+    ref_values = np.asarray(ref_values, float)
+    times = np.asarray(times, float)
+    values = np.asarray(values, float)
+    if len(ref_times) == 0 or len(times) == 0:
+        return float("nan")
+    return float(np.mean(np.abs(np.interp(ref_times, times, values) - ref_values)))
+
+
+def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
+    """Worst-case accuracy across seeds: min F1, max MAE."""
+    f1s, maes = [], []
+    for seed, oracle in per_seed_oracle.items():
+        if int(seed) not in tpu_curves:
+            continue
+        beats, times, values = tpu_curves[int(seed)]
+        f1s.append(beat_f1(beats, oracle["beat_times"]))
+        maes.append(bpm_mae(oracle["bpm_times"], oracle["bpm_values"], times, values))
+    return {"beat_f1_vs_cpu_reference": round(float(min(f1s)), 4),
+            "bpm_mae_vs_cpu_reference": round(float(max(maes)), 4),
+            "accuracy_seeds": len(f1s)}
+
+
+# --- TPU measurements ------------------------------------------------------
+
+def _bench_cfg(stride: int, backend: str, candidates: int = 2048):
+    from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
+
+    return AnalyzerConfig(runtime=RuntimeConfig(
+        max_raw_peaks=4096, max_troughs=4096, max_candidates=candidates,
+        dtype="float32", noise_quantile_stride=stride, quantile_backend=backend))
+
+
+def _enable_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _tpu_curves(res, n_seeds: int, rate: int = SR) -> dict:
+    """Per-seed (beat_times, bpm_times, bpm_values) from a batched result."""
+    counts = np.asarray(res.final_count)
+    positions = np.asarray(res.final_positions)
+    m = res.metrics.bpm
+    ctimes = np.asarray(m.times)
+    csmooth = np.asarray(m.smoothed)
+    ccount = np.asarray(m.count)
+    out = {}
+    for s in range(min(n_seeds, len(counts))):
+        beats = positions[s][: counts[s]] / rate
+        k = int(ccount[s])
+        out[s] = (beats, ctimes[s][:k], csmooth[s][:k])
+    return out
+
+
+def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
+                stride: int = 64):
+    import jax
+    import jax.numpy as jnp
+
+    _enable_cache()
+
+    from bpm_analysis_tpu.models import envelope as envm, pipeline
+
+    cfg = _bench_cfg(stride, backend)
+
+    # Same int16 quantization the CPU reference reads from its WAV, and the
+    # same full preprocessing (band-pass filtfilt at the 302 Hz rate —
+    # downsample clamps to 1) so both engines see identical signals.
+    batch = np.stack([_quantize_int16(synth_recording(s)).astype(np.float32)
+                      for s in range(batch_size)])
+
+    fn = jax.jit(lambda xs: pipeline.analyze_batch(
+        jax.vmap(lambda x: envm.preprocess(x, SR, cfg)[0])(xs), SR, cfg))
+
+    # Warmup / compile.
+    res = fn(jnp.asarray(batch))
+    counts = np.asarray(res.final_count)
+    assert (counts > 100).all(), f"bench sanity: too few beats {counts[:4]}"
+
+    best = float("inf")
+    for i in range(3):
+        fresh = jnp.asarray(batch + np.float32(i + 1) * 1e-3)
+        # Ensure the host->device transfer has completed before the clock
+        # starts (jnp.asarray stages asynchronously; production overlaps
+        # transfers with compute via the double-buffered batched front-end,
+        # measured separately by the end-to-end number).
+        np.asarray(jnp.sum(fresh))
+        t0 = time.time()
+        res = fn(fresh)
+        np.asarray(res.final_count)  # forces completion (block is lazy on axon)
+        best = min(best, time.time() - t0)
+
+    # Accuracy curves from the unperturbed batch (the oracle saw exactly it).
+    res0 = fn(jnp.asarray(batch))
+    curves = _tpu_curves(jax.device_get(res0), ACCURACY_SEEDS)
+    return batch_size * MINUTES / best, curves
+
+
+def measure_native_e2e(native_paths: list, backend: str, stride: int,
+                       batch: int = NATIVE_BATCH):
+    """configs[4] end-to-end: host decode + staging + device compute, timed
+    as one wall-clock interval over the whole fleet (double-buffered
+    front-end overlaps decode/transfer with compute)."""
+    import jax
+
+    _enable_cache()
+
+    from bpm_analysis_tpu import host_batch
+
+    # Native-rate recordings carry more raw peaks (~2.5k) than the 302 Hz
+    # batch; every detected event must fit (overflow raises).
+    cfg = _bench_cfg(stride, backend, candidates=4096)
+    outdir = os.path.dirname(native_paths[0])
+
+    # Warmup: compiles the (batch, bucket) program on a fleet subset.
+    host_batch.analyze_files_batched(native_paths[:batch], cfg, outdir,
+                                     max_batch=batch, render=False)
+
+    t0 = time.time()
+    results, errors = host_batch.analyze_files_batched(
+        native_paths, cfg, outdir, max_batch=batch, render=False)
+    elapsed = time.time() - t0
+    if errors:
+        raise RuntimeError(f"native e2e bench had per-file errors: {errors[:3]}")
+
+    from bpm_analysis_tpu.models import envelope as envm
+
+    rate = NATIVE_SR // envm.safe_downsample_factor(NATIVE_SR, cfg)
+    curves = {}
+    for seed in range(ACCURACY_SEEDS):
+        res = results[native_paths[seed]]
+        beats = np.asarray(res.final_positions)[: int(res.final_count)] / rate
+        times, values = np.asarray(res.metrics.bpm.times), np.asarray(res.metrics.bpm.smoothed)
+        k = int(res.metrics.bpm.count)
+        curves[seed] = (beats, times[:k], values[:k])
+    return len(native_paths) * MINUTES / elapsed, curves
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=BATCH,
@@ -182,6 +409,10 @@ def main():
                    help="noise-floor quantile backend")
     p.add_argument("--stride", type=int, default=64,
                    help="noise-floor quantile anchor stride")
+    p.add_argument("--native-files", type=int, default=NATIVE_FILES,
+                   help="fleet size for the end-to-end native-rate bench")
+    p.add_argument("--skip-native", action="store_true",
+                   help="skip the end-to-end native-rate measurement")
     p.add_argument("--sweep", action="store_true",
                    help="print a batch-size scaling curve (8/16/32/64) as extra "
                         "JSON lines before the headline line")
@@ -194,22 +425,42 @@ def main():
                               "value": round(t, 2), "unit": "audio-min/sec/chip"}),
                   file=sys.stderr)
 
-    tpu, beats0 = measure_tpu(args.batch, args.backend, args.stride)
+    tpu, curves = measure_tpu(args.batch, args.backend, args.stride)
     try:
-        cpu = measure_cpu_reference()
-        with open(CPU_BASELINE_FILE) as f:
-            ref_beats = json.load(f).get("final_beat_times_sec")
-        f1 = beat_f1(beats0, ref_beats) if ref_beats else None
+        cpu_data = measure_cpu_reference()
+        cpu = cpu_data["audio_min_per_sec"]
+        acc = _accuracy_rows(cpu_data["per_seed"], curves)
     except Exception:
-        cpu, f1 = None, None
+        cpu, acc = None, {}
     out = {
         "metric": "batched 10-min PCG analysis throughput",
         "value": round(tpu, 2),
         "unit": "audio-min/sec/chip",
         "vs_baseline": round(tpu / cpu, 2) if cpu else None,
     }
-    if f1 is not None:
-        out["beat_f1_vs_cpu_reference"] = round(float(f1), 4)
+    out.update(acc)
+
+    if not args.skip_native:
+        try:
+            native_paths = write_native_files(args.native_files)
+            e2e, e2e_curves = measure_native_e2e(native_paths, args.backend,
+                                                 args.stride)
+            native_cpu_data = measure_cpu_native(native_paths)
+            e2e_acc = _accuracy_rows(native_cpu_data["per_seed"], e2e_curves)
+            out["end_to_end_native_rate"] = {
+                "value": round(e2e, 2),
+                "unit": "audio-min/sec/chip",
+                "includes": "host WAV decode + staging + device compute, "
+                            f"{args.native_files}x 10-min {NATIVE_SR} Hz",
+                "vs_baseline": round(e2e / native_cpu_data["audio_min_per_sec"], 2),
+                "beat_f1": e2e_acc["beat_f1_vs_cpu_reference"],
+                "bpm_mae": e2e_acc["bpm_mae_vs_cpu_reference"],
+                "n_files": args.native_files,
+                "sample_rate": NATIVE_SR,
+            }
+        except Exception as e:
+            out["end_to_end_native_rate"] = {"error": str(e)[:200]}
+
     print(json.dumps(out))
 
 

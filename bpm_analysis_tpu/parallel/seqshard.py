@@ -23,6 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.rolling import centered_bounds
+from ..ops.filter import (_block_filter_tables, _df2t_matrices, butter_bandpass,
+                          lfilter_zi)
 
 
 def _halo_exchange(block: jnp.ndarray, halo_left: int, halo_right: int, axis: str,
@@ -89,6 +91,154 @@ def sequence_sharded_envelope(mesh: Mesh, signal: jnp.ndarray, window: int,
         in_specs=(spec,), out_specs=spec,
     )
     return fn(signal)
+
+
+def _divisor_block(n: int, target: int = 256, lo: int = 8) -> int:
+    """Largest divisor of ``n`` that is <= target (>= lo if one exists)."""
+    best = 1
+    for d in range(1, target + 1):
+        if n % d == 0:
+            best = d
+    if best < lo:
+        raise ValueError(f"no usable filter block length divides {n}")
+    return best
+
+
+def sequence_sharded_bandpass_filtfilt(
+    mesh: Mesh,
+    x: jnp.ndarray,
+    fs: float,
+    low_hz: float,
+    high_hz: float,
+    order: int = 2,
+    batched: bool = False,
+) -> jnp.ndarray:
+    """Zero-phase Butterworth band-pass (``ops.filter.bandpass_filtfilt``)
+    with the sample axis sharded over mesh axis 'sp' — the third and last
+    convolutional phase of SURVEY §5's long-context entry (reference
+    bpm_analysis.py:1044-1045).
+
+    Unlike the envelope/quantile kernels (finite windows -> halo exchange),
+    an IIR's state reaches across the whole signal, so the sharding relays
+    the 2*order-dim filter state through the device chain instead: each
+    device reduces its block to carry contributions once (the MXU-heavy
+    ``X @ U`` einsum), then a ``ppermute`` relay of the tiny state vector
+    walks the chain in ``sp-1`` steps — per step only the length-``nb``
+    affine carry scan re-runs, so the relay costs O(sp * nb) 4-vector ops
+    and sp-1 ICI hops, nothing more.  The forward pass relays left-to-right,
+    the backward (time-reversed) pass right-to-left.  scipy's odd end
+    extensions are reproduced exactly: the first/last ``padlen+1`` samples
+    are broadcast from the edge devices (masked psum), and every device
+    redundantly integrates the tiny extension recurrences to obtain the
+    entry states.
+    """
+    b, a = butter_bandpass(order, low_hz, high_hz, fs)
+    zi_np = lfilter_zi(b, a)
+    padlen = 3 * max(len(a), len(b))
+    n = x.shape[-1]
+    sp = mesh.shape["sp"]
+    if n % sp:
+        raise ValueError(f"sample count {n} not divisible by sp={sp}")
+    blk = n // sp
+    if blk <= padlen:
+        raise ValueError(f"block length {blk} must exceed padlen {padlen}")
+    L = _divisor_block(blk)
+    dtype = x.dtype
+
+    A_np, B_np, b0 = _df2t_matrices(b, a)
+    A_L_np, G_np, U_np, T_np, _ = _block_filter_tables(b, a, L)
+    hi = "highest"
+
+    def kernel(xb):
+        A = jnp.asarray(A_np, dtype)
+        Bv = jnp.asarray(B_np, dtype)
+        A_L = jnp.asarray(A_L_np, dtype)
+        G = jnp.asarray(G_np, dtype)
+        U = jnp.asarray(U_np, dtype)
+        T = jnp.asarray(T_np, dtype)
+        zi = jnp.asarray(zi_np, dtype)
+        b0j = jnp.asarray(b0, dtype)
+        idx = lax.axis_index("sp")
+        ndev = lax.axis_size("sp")
+
+        def edge_broadcast(values, device):
+            """Broadcast ``values`` (same shape everywhere) from ``device``
+            to the whole sp axis."""
+            contrib = jnp.where(idx == device, values, jnp.zeros_like(values))
+            return lax.psum(contrib, "sp")
+
+        def steps(s, us):
+            """DF2T recurrence over a short sample vector: y = b0*u + s[0];
+            s' = A s + B u.  Returns (final state, outputs)."""
+
+            def body(si, u):
+                y = b0j * u + si[0]
+                return jnp.einsum("ij,j->i", A, si, precision=hi) + Bv * u, y
+
+            return lax.scan(body, s, us)
+
+        def local_reduce(xloc):
+            """Block carries for the local samples (heavy part, done once)."""
+            X = xloc.reshape(blk // L, L)
+            C = jnp.einsum("kl,lm->km", X, U, precision=hi)
+            return X, C
+
+        def exit_from(C, entry):
+            def step(s, c):
+                return jnp.einsum("ij,j->i", A_L, s, precision=hi) + c, s
+
+            s_exit, S0 = lax.scan(step, entry, C)
+            return s_exit, S0
+
+        def relay(C, s_first, reverse):
+            """Sequential entry-state relay along the device chain.  Device
+            order follows sample order (reversed for the backward pass);
+            only the cheap carry scan re-runs per step."""
+            first_dev = ndev - 1 if reverse else 0
+            perm = ([(i + 1, i) for i in range(ndev - 1)] if reverse
+                    else [(i, i + 1) for i in range(ndev - 1)])
+            entry = jnp.where(idx == first_dev, s_first, jnp.zeros_like(s_first))
+            for i in range(sp - 1):
+                s_exit, _ = exit_from(C, entry)
+                passed = lax.ppermute(s_exit, "sp", perm)
+                target = (ndev - 2 - i) if reverse else (i + 1)
+                entry = jnp.where(idx == target, passed, entry)
+            s_exit, S0 = exit_from(C, entry)
+            return entry, s_exit, S0
+
+        def local_apply(X, S0):
+            Y = (b0j * X
+                 + jnp.einsum("km,lm->kl", S0, G, precision=hi)
+                 + jnp.einsum("ki,il->kl", X, T, precision=hi))
+            return Y.reshape(-1)
+
+        # --- forward pass ---------------------------------------------------
+        head = edge_broadcast(xb[: padlen + 1], 0)          # x[0 .. padlen]
+        tail = edge_broadcast(xb[-(padlen + 1):], ndev - 1)  # x[n-padlen-1 ..]
+        front_ext = 2 * head[0] - head[padlen:0:-1]
+        s_fwd0, _ = steps(zi * front_ext[0], front_ext)
+        X, C = local_reduce(xb)
+        _, s_exit, S0 = relay(C, s_fwd0, reverse=False)
+        y = local_apply(X, S0)
+
+        # --- forward-filter the back extension (redundant on all devices) --
+        back_ext = 2 * tail[-1] - tail[-2::-1][:padlen]
+        s_fwd_end = edge_broadcast(s_exit, ndev - 1)
+        _, y_back = steps(s_fwd_end, back_ext)
+
+        # --- backward pass over the reversed signal -------------------------
+        s_bwd0, _ = steps(zi * y_back[-1], y_back[::-1])
+        Xr, Cr = local_reduce(y[::-1])
+        _, _, S0r = relay(Cr, s_bwd0, reverse=True)
+        z = local_apply(Xr, S0r)
+        return z[::-1]
+
+    spec = P(None, "sp") if batched else P("sp")
+    fn = shard_map(
+        jax.vmap(kernel) if batched else kernel, mesh=mesh,
+        in_specs=(spec,), out_specs=spec,
+    )
+    return fn(x)
 
 
 def sequence_sharded_rolling_quantile(

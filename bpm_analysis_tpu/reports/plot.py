@@ -27,14 +27,17 @@ import numpy as np
 from .. import types
 from . import trace as trace_mod
 
-try:  # pragma: no cover - environment-dependent
-    import plotly.graph_objects as go
-    from plotly.subplots import make_subplots
-    HAVE_PLOTLY = True
-except ImportError:  # pragma: no cover
-    go = None
-    make_subplots = None
-    HAVE_PLOTLY = False
+def _plotly_modules():
+    """Resolve plotly lazily (per save) so the figure path stays testable:
+    tests inject recording stubs into ``sys.modules`` and the real
+    environment picks up plotly if/when it is installed."""
+    try:
+        import plotly.graph_objects as go
+        from plotly.subplots import make_subplots
+
+        return go, make_subplots
+    except ImportError:
+        return None, None
 
 
 def peak_hover_text(result, cfg, envelope, sample_rate) -> Dict[int, str]:
@@ -160,15 +163,18 @@ def save(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
          output_directory: str):
     base = os.path.basename(os.path.splitext(file_name)[0])
     path = os.path.join(output_directory, f"{base}_bpm_plot.html")
-    if HAVE_PLOTLY:
-        fig = _plotly_figure(result, cfg, envelope, sample_rate, file_name)
+    go, make_subplots = _plotly_modules()
+    if go is not None:
+        fig = _plotly_figure(go, make_subplots, result, cfg, envelope,
+                             sample_rate, file_name)
         fig.write_html(path, config={"scrollZoom": True})
         return fig, path
     _svg_fallback(result, cfg, envelope, sample_rate, file_name, path)
     return None, path
 
 
-def _plotly_figure(result, cfg, envelope, sample_rate, file_name):  # pragma: no cover
+def _plotly_figure(go, make_subplots, result, cfg, envelope, sample_rate,
+                   file_name):
     fig = make_subplots(specs=[[{"secondary_y": True}]])
     epoch = datetime.datetime.fromtimestamp(0)
 

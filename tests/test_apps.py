@@ -108,6 +108,47 @@ def test_webapp_batch_no_files():
     assert "No files" in status and artifacts == []
 
 
+def test_webapp_remote_upload_cache(tmp_path, monkeypatch):
+    """The gated HF-Hub upload checkpoint (reference hugging-face-space/
+    app.py:14-36): skip without a token, skip already-cached files, upload
+    otherwise — exercised via an injected huggingface_hub stub (no network
+    egress here)."""
+    import sys
+    import types as pytypes
+
+    from bpm_analysis_tpu.apps import webapp
+
+    f = tmp_path / "a.wav"
+    f.write_bytes(b"RIFF")
+
+    # No token -> skipped before any import.
+    assert "HF_TOKEN" in webapp.cache_file_remote(str(f), "r/p", None)
+
+    calls = {"exists": [], "uploads": []}
+
+    class _Api:
+        def file_exists(self, repo_id, filename, repo_type, token):
+            calls["exists"].append((repo_id, filename, repo_type))
+            return filename == "cached.wav"
+
+        def upload_file(self, path_or_fileobj, path_in_repo, repo_id, token,
+                        repo_type):
+            calls["uploads"].append((path_or_fileobj, path_in_repo, repo_id,
+                                     repo_type))
+
+    hub = pytypes.ModuleType("huggingface_hub")
+    hub.HfApi = _Api
+    monkeypatch.setitem(sys.modules, "huggingface_hub", hub)
+
+    assert webapp.cache_file_remote(str(f), "user/repo", "tok") is None
+    assert calls["uploads"] == [(str(f), "a.wav", "user/repo", "dataset")]
+
+    cached = tmp_path / "cached.wav"
+    cached.write_bytes(b"RIFF")
+    assert "already cached" in webapp.cache_file_remote(str(cached), "user/repo", "tok")
+    assert len(calls["uploads"]) == 1  # no re-upload
+
+
 def test_labeler_range_average():
     labels = [
         {"time": 1.0, "bpm": 100.0, "type": "S1"},

@@ -59,6 +59,29 @@ def test_pipeline_bpm_csv_parity(oracle, result):
     np.testing.assert_allclose(bpm[keep], gb, atol=5.1e-4)
 
 
+def test_pipeline_bpm_mae(result):
+    """North-star accuracy clause #2 (BASELINE.json): BPM MAE < 0.5 vs the
+    CPU reference.  Computed against the shipped golden CSV
+    (/root/reference/samples/vulpine_bpm_plot.csv) by evaluating our smoothed
+    curve at the golden beat times.  The float64 path is value-exact, so this
+    pins the metric itself (bench.py measures it per batch on TPU)."""
+    import csv, os
+
+    golden = os.path.join("/root/reference/samples", "vulpine_bpm_plot.csv")
+    rows = list(csv.reader(open(golden)))[1:]
+    gt = np.array([float(r[0]) for r in rows])
+    gb = np.array([float(r[1]) for r in rows])
+
+    m = result.metrics.bpm
+    count = int(m.count)
+    times = np.asarray(m.times)[:count]
+    bpm = np.asarray(m.smoothed)[:count]
+    keep = ~np.isnan(bpm)
+    mae = float(np.mean(np.abs(np.interp(gt, times[keep], bpm[keep]) - gb)))
+    assert mae < 0.5, f"BPM MAE {mae:.4f} >= 0.5"
+    assert mae < 1e-3  # float64 path is value-exact up to CSV rounding
+
+
 def test_pipeline_summary_metrics(oracle, result):
     m = result.metrics
     np.testing.assert_allclose(float(m.avg_bpm), 122.2, atol=0.05)

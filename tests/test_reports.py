@@ -18,6 +18,9 @@ from bpm_analysis_tpu.config import DEFAULT_CONFIG
 from bpm_analysis_tpu.models import envelope as envm, pipeline
 from bpm_analysis_tpu.reports import debug_log, summary, trace
 
+# Full float64 vulpine pipeline fixture -> slow tier (golden parity suite).
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = "/root/reference/samples"
 
 
@@ -138,3 +141,92 @@ def test_plot_feature_checklist(result, tmp_path):
     max_bpm, _, min_bpm, _ = ext
     assert f"Max: {max_bpm:.1f} BPM" in html_text
     assert f"Min: {min_bpm:.1f} BPM" in html_text
+
+
+class _StubScatter:
+    def __init__(self, **kw):
+        self.kw = kw
+        self.name = kw.get("name")
+
+
+class _StubFigure:
+    def __init__(self):
+        self.data = []
+        self.annotations = []
+        self.layout_kw = {}
+        self.yaxes = []
+
+    def add_trace(self, tr, secondary_y=None):
+        tr.kw["secondary_y"] = secondary_y
+        self.data.append(tr)
+
+    def add_annotation(self, **kw):
+        self.annotations.append(kw)
+
+    def update_layout(self, **kw):
+        self.layout_kw.update(kw)
+
+    def update_yaxes(self, **kw):
+        self.yaxes.append(kw)
+
+    def write_html(self, path, config=None):
+        with open(path, "w", encoding="utf-8") as f:
+            f.write("<html>plotly-stub</html>")
+
+
+def test_plotly_backend_figure(result, tmp_path, monkeypatch):
+    """Execute the real plotly figure construction (reference
+    bpm_analysis.py:478-780) against recording stubs injected as
+    ``plotly.graph_objects`` / ``plotly.subplots`` — plotly itself is not
+    installed here, but the figure logic is what real users see."""
+    import sys
+    import types as pytypes
+
+    from bpm_analysis_tpu.reports import plot as plot_mod
+
+    plotly = pytypes.ModuleType("plotly")
+    go = pytypes.ModuleType("plotly.graph_objects")
+    subplots = pytypes.ModuleType("plotly.subplots")
+    go.Scatter = _StubScatter
+    subplots.make_subplots = lambda specs=None: _StubFigure()
+    plotly.graph_objects = go
+    plotly.subplots = subplots
+    for name, mod in (("plotly", plotly), ("plotly.graph_objects", go),
+                      ("plotly.subplots", subplots)):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    res, env = result
+    fig, path = plot_mod.save(res, DEFAULT_CONFIG, np.asarray(env), 302,
+                              "vulpine.wav", str(tmp_path))
+    assert fig is not None and os.path.exists(path)
+
+    names = {t.name for t in fig.data}
+    assert {"Audio Envelope", "Dynamic Noise Floor", "Troughs", "S1 Beats",
+            "S2 Beats", "Average BPM", "BPM Trend (Belief)", "RMSSDc",
+            "SDNN"} <= names
+    # Slope segments: every produced kind appears as a trace, steepest slopes
+    # included (vulpine has both phases).
+    kinds = {s["kind"] for s in plot_mod.slope_segments(res.metrics)}
+    assert {"Peak Exertion Slope", "Peak Recovery Slope"} <= kinds
+    assert kinds <= names
+
+    # Peak traces carry the formatted per-peak decision tooltips.
+    s1 = next(t for t in fig.data if t.name == "S1 Beats")
+    assert s1.kw["hovertemplate"].startswith("%{customdata}")
+    assert any("S1-S2 pairing decision" in c for c in s1.kw["customdata"])
+
+    # Min/max annotations + summary box.
+    texts = [a.get("text", "") for a in fig.annotations]
+    assert any(t.startswith("Max:") for t in texts)
+    assert any(t.startswith("Min:") for t in texts)
+    assert any("Analysis Summary" in t for t in texts)
+    assert any("1-Min HRR" in t for t in texts)
+
+    # Amplitude axis scaled by plot_amplitude_scale_factor (bpm_analysis.py:503-506).
+    amp_axis = next(y for y in fig.yaxes if y.get("secondary_y") is False)
+    robust = float(np.quantile(np.asarray(env), 0.95))
+    expected = robust * DEFAULT_CONFIG.output.plot_amplitude_scale_factor
+    assert abs(amp_axis["range"][1] - expected) < 1e-6
+    # Dark theme + unified hover layout, as the reference sets.
+    assert fig.layout_kw.get("template") == "plotly_dark"
+    assert fig.layout_kw.get("hovermode") == "x unified"

@@ -86,6 +86,37 @@ def test_seqshard_batched(devices):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-12)
 
 
+def test_seqshard_bandpass_filtfilt_matches_local(devices):
+    from bpm_analysis_tpu.ops import filter as filt
+
+    m = mesh_mod.make_mesh(devices, sp=8)
+    sr = 302
+    n = (302 * 40 // 8) * 8
+    rng = np.random.RandomState(5)
+    sig = jnp.asarray(rng.randn(n) * 100)
+    got = seqshard.sequence_sharded_bandpass_filtfilt(m, sig, sr, 20.0, 150.0)
+    expected = filt.bandpass_filtfilt(sig, sr, 20.0, 150.0)
+    # The state relay is exact affine-carry arithmetic, but block boundaries
+    # differ from the serial blocking, so float rounding differs at ~1e-12.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-9, atol=1e-9 * float(np.abs(expected).max()))
+
+
+def test_seqshard_bandpass_filtfilt_batched(devices):
+    from bpm_analysis_tpu.ops import filter as filt
+
+    m = mesh_mod.make_mesh(devices, sp=4)
+    sr = 302
+    n = (302 * 20 // 4) * 4
+    rng = np.random.RandomState(6)
+    sig = jnp.asarray(rng.randn(3, n) * 100)
+    got = seqshard.sequence_sharded_bandpass_filtfilt(m, sig, sr, 20.0, 150.0,
+                                                      batched=True)
+    expected = jax.vmap(lambda v: filt.bandpass_filtfilt(v, sr, 20.0, 150.0))(sig)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-9, atol=1e-9 * float(np.abs(expected).max()))
+
+
 def test_seqshard_noise_quantile_matches_local(devices):
     from bpm_analysis_tpu.ops import quantile as q
 
