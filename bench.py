@@ -44,7 +44,8 @@ MINUTES = 10
 N_SAMPLES = SR * 60 * MINUTES
 BATCH = 64
 NATIVE_FILES = 64
-NATIVE_BATCH = 16          # (16, 2^25) f32 chunks keep HBM headroom
+NATIVE_BATCH = 32          # host-side stride decimation stages (32, 2^18)
+                           # chunks — ~16 MB each, not 2 GB of raw 44.1 kHz
 ACCURACY_SEEDS = 4
 
 
@@ -286,12 +287,14 @@ def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
 
 # --- TPU measurements ------------------------------------------------------
 
-def _bench_cfg(stride: int, backend: str, candidates: int = 2048):
+def _bench_cfg(stride: int, backend: str, candidates: int = 2048,
+               work_factor: int = 4):
     from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
 
     return AnalyzerConfig(runtime=RuntimeConfig(
         max_raw_peaks=4096, max_troughs=4096, max_candidates=candidates,
-        dtype="float32", noise_quantile_stride=stride, quantile_backend=backend))
+        dtype="float32", noise_quantile_stride=stride, quantile_backend=backend,
+        find_peaks_work_factor=work_factor))
 
 
 def _enable_cache():
@@ -372,9 +375,10 @@ def measure_native_e2e(native_paths: list, backend: str, stride: int,
 
     from bpm_analysis_tpu import host_batch
 
-    # Native-rate recordings carry more raw peaks (~2.5k) than the 302 Hz
-    # batch; every detected event must fit (overflow raises).
-    cfg = _bench_cfg(stride, backend, candidates=4096)
+    # Native-rate recordings carry more raw peaks (~2.5k) and far more
+    # pre-pruning local extrema (~23k aliased-noise minima per file) than
+    # the 302 Hz batch; every detected event must fit (overflow raises).
+    cfg = _bench_cfg(stride, backend, candidates=4096, work_factor=8)
     outdir = os.path.dirname(native_paths[0])
 
     # Warmup: compiles the (batch, bucket) program on a fleet subset.

@@ -230,6 +230,13 @@ class RuntimeConfig:
     # elsewhere; "xla" / "pallas" force.  Only applies when stride > 1 and
     # stride divides 128.
     quantile_backend: str = "auto"
+    # Work-buffer multiplier for the peak/trough finders: the intermediate
+    # local-extrema population (before distance/prominence pruning) is
+    # bounded by factor * max_raw_peaks / max_troughs.  Raise when the
+    # envelope is noisy relative to its capacity (e.g. native-rate stride
+    # decimation aliases broadband noise into ~23k extrema per 10-min
+    # recording vs ~11k on the golden sample).
+    find_peaks_work_factor: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

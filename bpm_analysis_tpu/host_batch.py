@@ -143,6 +143,16 @@ def analyze_files_batched(
     # extension indices and silently produce garbage).
     padlen = 3 * (2 * cfg.preprocess.bandpass_order + 1)
 
+    # Compat decimation (the default) is a pure stride slice — identical
+    # elements whether taken host- or device-side.  Doing it on host before
+    # staging cuts the host->device transfer by the decimation factor
+    # (~146x for 44.1 kHz input: 2 GB -> 16 MB per 16-file chunk), which is
+    # THE bottleneck on tunneled devices; the device program then runs at
+    # the post-decimation rate (its clamp resolves to factor 1).  The
+    # anti-aliased north-star path filters at the native rate and must ship
+    # the full signal.
+    host_decimate = not pre_filtered and not cfg.compat.antialias_decimation
+
     # --- probe + bucket ------------------------------------------------------
     groups: Dict[Tuple[int, int], List[int]] = {}
     meta = []
@@ -154,6 +164,8 @@ def analyze_files_batched(
             sr, nframes = wav.probe(wav_path)
             if nframes < 16:
                 raise ValueError("empty or near-empty recording")
+            factor = 1
+            n_dec = nframes
             if not pre_filtered:
                 factor = envm.safe_downsample_factor(sr, cfg)
                 n_dec = -(-nframes // factor) if factor > 1 else nframes
@@ -161,8 +173,21 @@ def analyze_files_batched(
                     raise ValueError(
                         f"decimated length {n_dec} must exceed filter padlen "
                         f"{padlen} (recording too short at rate {sr})")
-            meta.append((sr, nframes))
-            groups.setdefault((sr, length_bucket(nframes, min_bucket)), []).append(i)
+            host_factor = factor if host_decimate and factor > 1 else 1
+            if host_factor > 1 and envm.safe_downsample_factor(
+                    sr // factor, cfg) > 1:
+                # Ultra-high source rate whose post rate would be decimated
+                # AGAIN by the device program's own clamp — ship the native
+                # signal and let the device decimate once, as serial does.
+                host_factor = 1
+            meta.append((sr, nframes, host_factor))
+            if host_factor > 1:
+                # Program key: post-decimation rate + decimated bucket (files
+                # of different native rates can share one compiled program).
+                key = (sr // factor, length_bucket(n_dec, min_bucket))
+            else:
+                key = (sr, length_bucket(nframes, min_bucket))
+            groups.setdefault(key, []).append(i)
         except Exception as e:
             meta.append(None)
             errors.append((orig, str(e)))
@@ -191,7 +216,8 @@ def analyze_files_batched(
             b = max(b, dp)
             b = -(-b // dp) * dp
         wav_paths = [pairs[i][0] for i in chunk]
-        buf, rates, lengths = native.decode_batch_f32(wav_paths, bucket_len)
+        decode_len = max(bucket_len, max(meta[i][1] for i in chunk))
+        buf, rates, lengths = native.decode_batch_f32(wav_paths, decode_len)
         ok_rows = []
         for row, i in enumerate(chunk):
             if lengths[row] <= 0:
@@ -202,11 +228,14 @@ def analyze_files_batched(
             return chunk, ok_rows, None, staging_errors
 
         audio = np.zeros((b, bucket_len), np.float32)
-        n_valid = np.full((b,), int(lengths[ok_rows[0]]), np.int32)
+        n_valid = np.full((b,), 1, np.int32)
         hint_arr = np.full((b,), np.nan, np.float32)
         for slot, row in enumerate(ok_rows):
-            audio[slot] = buf[row]
-            n_valid[slot] = int(lengths[row])
+            nf = int(lengths[row])
+            factor = meta[chunk[row]][2]
+            sliced = buf[row][:nf:factor] if factor > 1 else buf[row][:nf]
+            audio[slot, : sliced.shape[0]] = sliced
+            n_valid[slot] = sliced.shape[0]
             h = hints[chunk[row]]
             hint_arr[slot] = np.nan if not h else float(h)
         # batch padding rows duplicate row 0 (results discarded).

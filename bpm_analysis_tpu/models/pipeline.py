@@ -73,7 +73,8 @@ def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
               fp.distance_capacity_bound(envelope.shape[0], dist))
     return fp.find_peaks(
         env_m, cap, height=floor, prominence=prom,
-        distance=dist, work_capacity=4 * cfg.runtime.max_raw_peaks,
+        distance=dist,
+        work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks,
     )
 
 
