@@ -74,7 +74,7 @@ def dynamic_noise_floor(
                                    valid=valid)
     troughs = fp.find_peaks(
         -env_m, cap, prominence=trough_prom, distance=min_dist,
-        work_capacity=4 * cfg.runtime.max_troughs,
+        work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_troughs,
     )
     slot = jnp.arange(cap)
     t_valid = slot < troughs.count
@@ -88,7 +88,11 @@ def dynamic_noise_floor(
     if backend == "auto":
         import jax
 
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "knots" if jax.default_backend() == "tpu" else "xla"
+    if stride > 1 and backend == "knots":
+        return _dynamic_noise_floor_knots(
+            envelope, env_m, valid, n_valid, cfg, troughs, t_pos, t_amp,
+            t_valid, cap, min_dist, window, stride)
     if stride > 1 and backend == "pallas" and 128 % stride == 0:
         from ..ops.pallas.quantile_kernel import make_vmappable_rolling_quantile
 
@@ -162,6 +166,88 @@ def dynamic_noise_floor(
     floor = jnp.where(few_troughs, static_few, floor)
 
     # Returned trough set: raw when <5 troughs, sanitized otherwise.
+    out_pos = jnp.where(few_troughs, troughs.positions, sane_pos)
+    out_count = jnp.where(few_troughs, troughs.count, sane_count)
+
+    return NoiseFloorResult(
+        floor=floor,
+        trough_positions=out_pos.astype(jnp.int32),
+        trough_count=out_count,
+        raw_trough_positions=troughs.positions,
+        raw_trough_count=troughs.count,
+        overflowed=troughs.overflowed,
+    )
+
+
+def _dynamic_noise_floor_knots(
+    envelope, env_m, valid, n_valid, cfg, troughs, t_pos, t_amp, t_valid,
+    cap, min_dist, window, stride,
+) -> NoiseFloorResult:
+    """Strided noise floor computed entirely in the knot domain
+    (ops/knot_quantile.py): the rolling quantile of the trough interpolation
+    never materializes the dense series — per-anchor closed-form counting
+    over the <= window/min_spacing knot segments replaces per-anchor window
+    gathers and rank selection, and the draft floor is evaluated *sparsely*
+    at the trough positions for sanitization.  NaN anchors (min_periods)
+    are bfilled on the anchor axis rather than the dense axis; this deviates
+    from the dense path only across a NaN anchor's stride span (recording
+    edges), where the fill lands one anchor earlier — the strided path is
+    already an interpolating approximation there.  Dense expansion happens
+    once per floor via ``interp_anchors``."""
+    from ..ops import knot_quantile as kq
+
+    n = envelope.shape[0]
+    ncfg = cfg.noise
+    idx = jnp.arange(n)
+    min_spacing = max(min_dist, 1)
+
+    def rolling_q_knots(pos, amp, count):
+        return kq.rolling_quantile_knots(
+            pos, amp, count, n, window, ncfg.noise_floor_quantile,
+            min_periods=3, stride=stride, min_spacing=min_spacing,
+            n_valid=n_valid, chunk=cfg.runtime.quantile_chunk,
+            dtype=envelope.dtype)
+
+    if n_valid is None:
+        def fix_tail_span(d):
+            return d
+    else:
+        last_anchor_pos = ((jnp.asarray(n_valid, jnp.int32) - 1) // stride) * stride
+
+        def fix_tail_span(d):
+            return jnp.where(idx >= last_anchor_pos, d[last_anchor_pos], d)
+
+    # --- draft floor from ALL troughs (anchors only) -----------------------
+    draft_anchors = rolling_q_knots(troughs.positions, t_amp, troughs.count)
+    draft_anchors_filled = q.bfill_ffill(draft_anchors)
+    draft_filled = fix_tail_span(
+        q.interp_anchors(draft_anchors_filled, n, stride, envelope.dtype))
+
+    # --- sanitize troughs (sparse draft evaluation — no dense gather) ------
+    floor_at_trough = kq.anchors_at(draft_anchors_filled, t_pos, n, stride,
+                                    n_valid=n_valid)
+    keep = t_valid & ~jnp.isnan(floor_at_trough) & (
+        t_amp <= ncfg.trough_rejection_multiplier * floor_at_trough
+    )
+    sane_pos, sane_count = series.compact_valid(t_pos, keep, fill=n)
+    sane_amp = env_m[jnp.where(jnp.arange(cap) < sane_count, sane_pos, 0)]
+
+    # --- final floor from sanitized troughs --------------------------------
+    final_anchors = rolling_q_knots(sane_pos, sane_amp, sane_count)
+    final = fix_tail_span(
+        q.interp_anchors(q.bfill_ffill(final_anchors), n, stride,
+                         envelope.dtype))
+
+    # --- fallback ladder (identical to the dense path) ---------------------
+    floor = jnp.where(sane_count > 2, final, draft_filled)
+    static_all_nan = q.quantile_exact(envelope, ncfg.all_nan_fallback_quantile,
+                                      valid=valid)
+    floor = jnp.where(jnp.all(jnp.isnan(floor)), static_all_nan, floor)
+    static_few = q.quantile_exact(envelope, ncfg.noise_floor_quantile,
+                                  valid=valid)
+    few_troughs = troughs.count < 5
+    floor = jnp.where(few_troughs, static_few, floor)
+
     out_pos = jnp.where(few_troughs, troughs.positions, sane_pos)
     out_count = jnp.where(few_troughs, troughs.count, sane_count)
 
