@@ -29,20 +29,37 @@ from .models import pipeline
 from .reports import csvout, debug_log, plot, settings, summary
 
 
-@functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
-def _preprocess_jit(audio, sample_rate: int, cfg: AnalyzerConfig):
-    """jitted preprocess: faster, and — critically — bit-identical to the
+def _length_bucket(n: int, min_bucket: int = 1 << 15) -> int:
+    """Smallest power-of-two >= n (>= min_bucket).  The serial path pads
+    every recording to a bucket and passes the true length as a traced
+    ``n_valid``, so analyzing a directory of arbitrary-length files compiles
+    O(log) programs instead of one per length (the masked program computes
+    exactly the unpadded analysis — tests/test_masked_length.py)."""
+    b = min_bucket
+    while b < n:
+        b <<= 1
+    return b
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sample_rate", "cfg", "pre_filtered"))
+def _analyze_padded_jit(audio, hint, n_valid, sample_rate: int,
+                        cfg: AnalyzerConfig, pre_filtered: bool):
+    """One jitted program per (bucket length, rate, cfg): preprocess +
+    pipeline.  Jitting end-to-end keeps the serial path bit-identical to the
     batched bucket program (XLA:CPU's eager kernels associate windowed sums
     differently from its jitted fusions; everything jitted agrees across
-    shapes, so the serial-vs-batched artifact contract requires the serial
-    path to be jitted too — see tests/test_host_batch.py)."""
-    env, filtered, _rate = envm.preprocess(audio, sample_rate, cfg)
-    return env, filtered
-
-
-@functools.partial(jax.jit, static_argnames=("sample_rate",))
-def _envelope_jit(filtered, sample_rate: int):
-    return envm.envelope_from_filtered(filtered, sample_rate)
+    shapes — the serial-vs-batched artifact contract depends on it, see
+    tests/test_host_batch.py)."""
+    if pre_filtered:
+        env = envm.envelope_from_filtered(audio, sample_rate, n_valid=n_valid)
+        res = pipeline.analyze_envelope(env, sample_rate, cfg, hint,
+                                        n_valid=n_valid)
+        return env, None, n_valid, res
+    env, filtered, new_rate, nv_dec = envm.preprocess(audio, sample_rate, cfg,
+                                                      n_valid=n_valid)
+    res = pipeline.analyze_envelope(env, new_rate, cfg, hint, n_valid=nv_dec)
+    return env, filtered, nv_dec, res
 
 SUPPORTED_EXTENSIONS = (".wav", ".mp3", ".m4a", ".flac", ".ogg", ".mp4", ".mkv", ".mov")
 
@@ -141,33 +158,47 @@ def analyze_wav_file(
     mono = wav.to_mono(data).astype(np.float32 if cfg.runtime.dtype == "float32" else np.float64)
     dtype = jnp.float32 if cfg.runtime.dtype == "float32" else jnp.float64
 
+    n = int(mono.shape[0])
     if pre_filtered:
         # Input is already the band-passed (decimated) signal — e.g. a
         # ``*_filtered_debug.wav`` artifact; skip decimation/filtering the
         # way the reference's labeler does (heartbeat_labeler.py:62-67).
         new_rate = sample_rate
-        env = _envelope_jit(jnp.asarray(mono, dtype), new_rate)
     else:
-        env, filtered = _preprocess_jit(jnp.asarray(mono, dtype), sample_rate, cfg)
         factor = envm.safe_downsample_factor(sample_rate, cfg)
         new_rate = sample_rate // factor if factor > 1 else sample_rate
-        if cfg.preprocess.save_filtered_wav:
-            save_filtered_wav(
-                np.asarray(filtered), new_rate, original_file_path,
-                output_directory,
-                beside_wav_path=(wav_file_path
-                                 if cfg.compat.filtered_wav_beside_input
-                                 else None))
+        # Same host-side guard as host_batch: the masked filtfilt clamps
+        # (garbage) instead of erroring when n_valid <= padlen, so reject
+        # too-short recordings before tracing.
+        padlen = 3 * (2 * cfg.preprocess.bandpass_order + 1)
+        n_dec = -(-n // factor) if factor > 1 else n
+        if n_dec <= padlen:
+            raise ValueError(
+                f"decimated length {n_dec} must exceed filter padlen "
+                f"{padlen} (recording too short at rate {sample_rate})")
 
+    bucket = _length_bucket(n)
+    if bucket > n:
+        mono = np.pad(mono, (0, bucket - n))
     hint = float(start_bpm_hint) if start_bpm_hint else float("nan")
-    result = pipeline.analyze_envelope_jit(env, new_rate, cfg, hint)
+    env, filtered, nv_dec, result = _analyze_padded_jit(
+        jnp.asarray(mono, dtype), jnp.asarray(hint, dtype),
+        jnp.int32(n), sample_rate, cfg, pre_filtered)
+    nv = int(nv_dec)
+    if not pre_filtered and cfg.preprocess.save_filtered_wav:
+        save_filtered_wav(
+            np.asarray(filtered)[:nv], new_rate, original_file_path,
+            output_directory,
+            beside_wav_path=(wav_file_path
+                             if cfg.compat.filtered_wav_beside_input
+                             else None))
     # Pull the whole result to host in ONE transfer before rendering: the
     # report renderers index trace fields per event, and doing that against
     # device arrays costs thousands of tiny device->host roundtrips (minutes
     # over the tunneled-TPU link; the batched path already device_gets).
     result = jax.device_get(result)
 
-    out = render_artifacts(result, cfg, np.asarray(env), new_rate,
+    out = render_artifacts(result, cfg, np.asarray(env)[:nv], new_rate,
                            original_file_path, output_directory, start_bpm_hint)
     logging.info(f"--- Analysis finished in {time.time() - start:.2f} seconds. ---")
     return out

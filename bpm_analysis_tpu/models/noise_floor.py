@@ -88,7 +88,11 @@ def dynamic_noise_floor(
     if backend == "auto":
         import jax
 
-        backend = "knots" if jax.default_backend() == "tpu" else "xla"
+        # knots (ops/knot_quantile.py) measured 2.3x slower than the Pallas
+        # windowed kernel on TPU at the bench config (XLA lowering spills
+        # the (chunk, nseg) segment tables to HBM every bisection step);
+        # it stays opt-in until a fused lowering lands.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if stride > 1 and backend == "knots":
         return _dynamic_noise_floor_knots(
             envelope, env_m, valid, n_valid, cfg, troughs, t_pos, t_amp,
