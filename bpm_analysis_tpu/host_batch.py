@@ -216,8 +216,14 @@ def analyze_files_batched(
             b = max(b, dp)
             b = -(-b // dp) * dp
         wav_paths = [pairs[i][0] for i in chunk]
-        decode_len = max(bucket_len, max(meta[i][1] for i in chunk))
-        buf, rates, lengths = native.decode_batch_f32(wav_paths, decode_len)
+        # Strided decode straight into the staging buffer: the decoder emits
+        # only every host_factor-th frame (the compat decimation slice), so
+        # for 44.1 kHz sources it writes ~180k samples/file instead of
+        # converting all 26M (and the skipped frames are never converted).
+        audio = np.zeros((b, bucket_len), np.float32)
+        _, rates, lengths = native.decode_batch_f32(
+            wav_paths, bucket_len, strides=[meta[i][2] for i in chunk],
+            out=audio)
         ok_rows = []
         for row, i in enumerate(chunk):
             if lengths[row] <= 0:
@@ -227,15 +233,15 @@ def analyze_files_batched(
         if not ok_rows:
             return chunk, ok_rows, None, staging_errors
 
-        audio = np.zeros((b, bucket_len), np.float32)
         n_valid = np.full((b,), 1, np.int32)
         hint_arr = np.full((b,), np.nan, np.float32)
+        if len(ok_rows) != len(chunk):
+            # Rare repair path: compact failed rows out of the buffer so
+            # slots stay dense (slot order == ok_rows order).
+            audio[: len(ok_rows)] = audio[ok_rows]
+            audio[len(ok_rows):] = 0.0
         for slot, row in enumerate(ok_rows):
-            nf = int(lengths[row])
-            factor = meta[chunk[row]][2]
-            sliced = buf[row][:nf:factor] if factor > 1 else buf[row][:nf]
-            audio[slot, : sliced.shape[0]] = sliced
-            n_valid[slot] = sliced.shape[0]
+            n_valid[slot] = int(lengths[row])
             h = hints[chunk[row]]
             hint_arr[slot] = np.nan if not h else float(h)
         # batch padding rows duplicate row 0 (results discarded).
@@ -261,10 +267,19 @@ def analyze_files_batched(
         env_b, filt_b, nvd_b, res_b = run(*args, sr, cfg)
 
         new_rate = sr if pre_filtered else _post_rate(sr, cfg)
-        env_np = np.asarray(env_b)
-        filt_np = None if filt_b is None else np.asarray(filt_b)
+        if render:
+            env_np = np.asarray(env_b)
+            filt_np = None if filt_b is None else np.asarray(filt_b)
+            res_np = jax.device_get(res_b)
+        else:
+            # No artifacts to draw: don't ship the dense (B, L) envelope /
+            # filtered signal / noise floor over the device link — only the
+            # capacity-shaped event fields.  (results[...].floor is None in
+            # this mode; bench.py and other render=False callers read event
+            # positions and metrics only.)
+            env_np = filt_np = None
+            res_np = jax.device_get(res_b._replace(floor=None))
         nvd_np = np.asarray(nvd_b)
-        res_np = jax.device_get(res_b)
         for slot, row in enumerate(ok_rows):
             orig = pairs[chunk[row]][1]
             res_i = _tree_row(res_np, slot)

@@ -1,9 +1,14 @@
 """ctypes bindings for the native host ingest library (native/wav_decoder.cpp).
 
-Loads ``native/libbpmwav.so``, building it with ``make`` on first use when a
-compiler is available; all entry points fall back to the pure-numpy decoder
+Loads ``native/libbpmwav.so``, (re)building it with ``make`` on first use when
+a compiler is available; all entry points fall back to the pure-numpy decoder
 (``io.wav``) if the library can't be built or a decode fails, so the native
 path is a pure acceleration layer for the batch feeder.
+
+Decodes are *strided*: passing ``stride`` > 1 emits every stride-th mono
+frame — the host half of the compat decimation path (a pure slice,
+bpm_analysis.py:1031-1045), done inside the decoder so skipped frames are
+never even converted.
 """
 from __future__ import annotations
 
@@ -11,14 +16,15 @@ import ctypes
 import logging
 import os
 import subprocess
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from . import wav as pywav
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libbpmwav.so"))
+_NATIVE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libbpmwav.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
@@ -28,22 +34,29 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "wav_decoder.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR],
                            check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError) as e:
             logging.debug(f"native wav library build failed: {e}")
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.bpmwav_decode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64)]
         lib.bpmwav_decode.restype = ctypes.c_int
         lib.bpmwav_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.bpmwav_decode_batch.restype = ctypes.c_int
@@ -57,9 +70,10 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode_mono_f32(path: str, max_samples: int) -> Tuple[int, np.ndarray]:
-    """Decode one WAV to mono float32 (channel mean, scipy value convention).
-    Falls back to the numpy decoder."""
+def decode_mono_f32(path: str, max_samples: int, stride: int = 1
+                    ) -> Tuple[int, np.ndarray]:
+    """Decode one WAV to mono float32 (channel mean, scipy value convention),
+    keeping every ``stride``-th frame.  Falls back to the numpy decoder."""
     lib = _load()
     if lib is not None:
         out = np.zeros(max_samples, np.float32)
@@ -67,32 +81,51 @@ def decode_mono_f32(path: str, max_samples: int) -> Tuple[int, np.ndarray]:
         n = ctypes.c_int64(0)
         rc = lib.bpmwav_decode(
             path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            max_samples, ctypes.byref(sr), ctypes.byref(n))
+            max_samples, stride, ctypes.byref(sr), ctypes.byref(n))
         if rc == 0:
             return int(sr.value), out[: int(n.value)]
         logging.debug(f"native decode failed ({rc}) for {path}; numpy fallback")
     sr2, data = pywav.read(path)
-    mono = pywav.to_mono(data).astype(np.float32)[:max_samples]
-    return sr2, mono
+    mono = pywav.to_mono(data).astype(np.float32)
+    if stride > 1:
+        mono = mono[::stride]
+    return sr2, np.ascontiguousarray(mono[:max_samples])
 
 
-def decode_batch_f32(paths: List[str], max_samples: int, num_threads: int = 0
+def decode_batch_f32(paths: List[str], max_samples: int,
+                     strides: Optional[Sequence[int]] = None,
+                     num_threads: int = 0,
+                     out: Optional[np.ndarray] = None,
                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parallel native decode of ``paths`` into a zero-padded
-    (batch, max_samples) float32 buffer.  Returns (buffer, sample_rates,
-    lengths).  Per-file failures fall back to the numpy decoder; files that
-    still fail get length 0."""
+    (batch, max_samples) float32 buffer, each file decimated by its own
+    ``strides[i]``.  Returns (buffer, sample_rates, lengths) where lengths
+    are the post-stride emitted counts.  Per-file failures fall back to the
+    numpy decoder; files that still fail get length 0.
+
+    ``out`` lets the caller decode straight into (the head of) a staging
+    buffer it owns — must be C-contiguous float32 with row width
+    ``max_samples`` and at least ``len(paths)`` rows.
+    """
     batch = len(paths)
-    out = np.zeros((batch, max_samples), np.float32)
+    if out is None:
+        out = np.zeros((batch, max_samples), np.float32)
+    else:
+        assert out.dtype == np.float32 and out.flags.c_contiguous
+        assert out.shape[0] >= batch and out.shape[1] == max_samples
     rates = np.zeros(batch, np.int32)
     lengths = np.zeros(batch, np.int64)
+    stride_arr = np.ones(batch, np.int64) if strides is None \
+        else np.asarray(list(strides), np.int64)
     lib = _load()
     if lib is not None and batch:
         errors = np.zeros(batch, np.int32)
         arr = (ctypes.c_char_p * batch)(*[p.encode() for p in paths])
         lib.bpmwav_decode_batch(
             arr, batch, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            max_samples, rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_samples,
+            stride_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             errors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_threads)
         failed = np.nonzero(errors != 0)[0]
@@ -100,8 +133,10 @@ def decode_batch_f32(paths: List[str], max_samples: int, num_threads: int = 0
         failed = np.arange(batch)
     for i in failed:
         try:
-            sr, mono = decode_mono_f32(paths[i], max_samples)
+            sr, mono = decode_mono_f32(paths[i], max_samples,
+                                       int(stride_arr[i]))
             out[i, : len(mono)] = mono
+            out[i, len(mono):] = 0.0
             rates[i] = sr
             lengths[i] = len(mono)
         except Exception as e:

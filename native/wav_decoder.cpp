@@ -9,9 +9,18 @@
 // jax.device_put.  Exposed over a plain C ABI for ctypes (no pybind11 in
 // this environment).
 //
+// Decoding is *strided*: the caller passes a per-file decimation stride and
+// the decoder emits only every stride-th mono frame, streaming the data
+// chunk through a small block buffer.  For the batch front-end's compat
+// path (pure stride decimation, bpm_analysis.py:1031-1045) this collapses
+// host staging from "decode 100 MB/file to float32, then slice" to "emit
+// the ~180k samples the device program actually consumes" — the skipped
+// frames are never converted at all.
+//
 // Build: make -C native   (produces libbpmwav.so; Python falls back to the
 // pure-numpy decoder in io/wav.py when the library is absent).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -33,9 +42,66 @@ bool read_exact(FILE* f, void* dst, size_t n) {
   return std::fread(dst, 1, n, f) == n;
 }
 
-// Decode one WAV file into mono float32.  Returns 0 on success.
+// Convert one frame at `s` (interleaved `ch` channels) to a mono float via
+// the channel mean (scipy value conventions).  Returns false on an
+// unsupported format.
+inline bool frame_to_mono(const uint8_t* s, const FmtInfo& fmt, size_t bytes_per,
+                          float* out) {
+  double acc = 0.0;
+  for (int c = 0; c < fmt.channels; ++c, s += bytes_per) {
+    double v = 0.0;
+    if (fmt.format == 1) {  // PCM
+      switch (fmt.bits) {
+        case 8:
+          v = static_cast<double>(*s);  // scipy convention: unsigned
+          break;
+        case 16: {
+          int16_t x;
+          std::memcpy(&x, s, 2);
+          v = x;
+          break;
+        }
+        case 24: {
+          int32_t x = (s[0] | (s[1] << 8) | (s[2] << 16));
+          x = (x << 8) >> 8;  // sign-extend
+          v = x;
+          break;
+        }
+        case 32: {
+          int32_t x;
+          std::memcpy(&x, s, 4);
+          v = x;
+          break;
+        }
+        default:
+          return false;
+      }
+    } else if (fmt.format == 3) {  // IEEE float
+      if (fmt.bits == 32) {
+        float x;
+        std::memcpy(&x, s, 4);
+        v = x;
+      } else if (fmt.bits == 64) {
+        double x;
+        std::memcpy(&x, s, 8);
+        v = x;
+      } else {
+        return false;
+      }
+    } else {
+      return false;
+    }
+    acc += v;
+  }
+  *out = static_cast<float>(acc / fmt.channels);
+  return true;
+}
+
+// Decode one WAV file into mono float32, emitting every `stride`-th frame.
+// Returns 0 on success; *n_samples receives the emitted (post-stride) count.
 int decode_one(const char* path, float* out, int64_t max_samples,
-               int32_t* sample_rate, int64_t* n_samples) {
+               int64_t stride, int32_t* sample_rate, int64_t* n_samples) {
+  if (stride < 1) stride = 1;
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   char riff[4], wave[4];
@@ -46,8 +112,12 @@ int decode_one(const char* path, float* out, int64_t max_samples,
     std::fclose(f);
     return -2;
   }
+
+  // Chunk scan: note the data chunk's position/size, read fmt.  (fmt almost
+  // always precedes data; if not, we seek back to the noted position.)
   FmtInfo fmt;
-  std::vector<uint8_t> data;
+  long data_pos = -1;
+  uint32_t data_size = 0;
   while (true) {
     char id[4];
     uint32_t size;
@@ -61,78 +131,89 @@ int decode_one(const char* path, float* out, int64_t max_samples,
       std::memcpy(&fmt.bits, buf.data() + 14, 2);
       if (fmt.format == 0xFFFE && size >= 26)  // WAVE_FORMAT_EXTENSIBLE
         std::memcpy(&fmt.format, buf.data() + 24, 2);
+      if (size & 1) std::fseek(f, 1, SEEK_CUR);
     } else if (!std::memcmp(id, "data", 4)) {
-      data.resize(size);
-      if (!read_exact(f, data.data(), size)) break;
+      data_pos = std::ftell(f);
+      data_size = size;
+      std::fseek(f, size + (size & 1), SEEK_CUR);
     } else {
       std::fseek(f, size + (size & 1), SEEK_CUR);
-      continue;
     }
-    if (size & 1) std::fseek(f, 1, SEEK_CUR);
-    if (fmt.channels && !data.empty()) break;
+    if (fmt.channels && data_pos >= 0) break;
   }
-  std::fclose(f);
-  if (!fmt.channels || data.empty()) return -3;
-
-  const int ch = fmt.channels;
+  if (!fmt.channels || data_pos < 0 || fmt.bits < 8) {
+    std::fclose(f);
+    return -3;
+  }
   const size_t bytes_per = fmt.bits / 8;
-  const int64_t frames =
-      static_cast<int64_t>(data.size() / (bytes_per * ch));
-  const int64_t n = frames < max_samples ? frames : max_samples;
-  const uint8_t* p = data.data();
+  const size_t frame_bytes = bytes_per * fmt.channels;
+  const int64_t frames = static_cast<int64_t>(data_size / frame_bytes);
+  int64_t n_out = (frames + stride - 1) / stride;
+  if (n_out > max_samples) n_out = max_samples;
 
-  for (int64_t i = 0; i < n; ++i) {
-    double acc = 0.0;
-    for (int c = 0; c < ch; ++c) {
-      const uint8_t* s = p + (i * ch + c) * bytes_per;
-      double v = 0.0;
-      if (fmt.format == 1) {  // PCM
-        switch (fmt.bits) {
-          case 8:
-            v = static_cast<double>(*s);  // scipy convention: unsigned
-            break;
-          case 16: {
-            int16_t x;
-            std::memcpy(&x, s, 2);
-            v = x;
-            break;
-          }
-          case 24: {
-            int32_t x = (s[0] | (s[1] << 8) | (s[2] << 16));
-            x = (x << 8) >> 8;  // sign-extend
-            v = x;
-            break;
-          }
-          case 32: {
-            int32_t x;
-            std::memcpy(&x, s, 4);
-            v = x;
-            break;
-          }
-          default:
-            return -4;
-        }
-      } else if (fmt.format == 3) {  // IEEE float
-        if (fmt.bits == 32) {
-          float x;
-          std::memcpy(&x, s, 4);
-          v = x;
-        } else if (fmt.bits == 64) {
-          double x;
-          std::memcpy(&x, s, 8);
-          v = x;
-        } else {
+  // Format support check up-front (so unsupported files error rather than
+  // silently emitting zeros).
+  const bool supported =
+      (fmt.format == 1 && (fmt.bits == 8 || fmt.bits == 16 || fmt.bits == 24 ||
+                           fmt.bits == 32)) ||
+      (fmt.format == 3 && (fmt.bits == 32 || fmt.bits == 64));
+  if (!supported) {
+    std::fclose(f);
+    return fmt.format == 1 || fmt.format == 3 ? -4 : -5;
+  }
+
+  std::fseek(f, data_pos, SEEK_SET);
+  const bool fast16 = (fmt.channels == 1 && fmt.format == 1 && fmt.bits == 16);
+
+  // Stream the data chunk through a block buffer (multiple of frame_bytes).
+  const int64_t block_frames =
+      std::max<int64_t>(1, (int64_t{1} << 20) / frame_bytes);
+  std::vector<uint8_t> buf(block_frames * frame_bytes);
+  const int64_t hop_bytes = stride * static_cast<int64_t>(frame_bytes);
+
+  int64_t out_i = 0;
+  int64_t frame_base = 0;  // absolute index of the first frame in the buffer
+  int rc = 0;
+  while (out_i < n_out) {
+    int64_t need = out_i * stride;  // next absolute frame to emit
+    if (need >= frame_base + block_frames || need > frame_base) {
+      // When the hop exceeds the block, seek instead of reading dead bytes.
+      if (hop_bytes > static_cast<int64_t>(buf.size()) || out_i == 0) {
+        std::fseek(f, data_pos + need * static_cast<int64_t>(frame_bytes),
+                   SEEK_SET);
+        frame_base = need;
+      }
+    }
+    const int64_t blk = std::min(block_frames, frames - frame_base);
+    if (blk <= 0) break;
+    if (!read_exact(f, buf.data(), blk * frame_bytes)) {
+      rc = out_i > 0 ? 0 : -6;  // truncated file: keep what we decoded
+      break;
+    }
+    if (fast16) {
+      const int16_t* s16 = reinterpret_cast<const int16_t*>(buf.data());
+      while (need < frame_base + blk && out_i < n_out) {
+        out[out_i++] = static_cast<float>(s16[need - frame_base]);
+        need += stride;
+      }
+    } else {
+      while (need < frame_base + blk && out_i < n_out) {
+        float v;
+        if (!frame_to_mono(buf.data() + (need - frame_base) * frame_bytes, fmt,
+                           bytes_per, &v)) {
+          std::fclose(f);
           return -4;
         }
-      } else {
-        return -5;
+        out[out_i++] = v;
+        need += stride;
       }
-      acc += v;
     }
-    out[i] = static_cast<float>(acc / ch);
+    frame_base += blk;
   }
+  std::fclose(f);
+  if (rc) return rc;
   *sample_rate = static_cast<int32_t>(fmt.sample_rate);
-  *n_samples = n;
+  *n_samples = out_i;
   return 0;
 }
 
@@ -141,17 +222,17 @@ int decode_one(const char* path, float* out, int64_t max_samples,
 extern "C" {
 
 int bpmwav_decode(const char* path, float* out, int64_t max_samples,
-                  int32_t* sample_rate, int64_t* n_samples) {
-  return decode_one(path, out, max_samples, sample_rate, n_samples);
+                  int64_t stride, int32_t* sample_rate, int64_t* n_samples) {
+  return decode_one(path, out, max_samples, stride, sample_rate, n_samples);
 }
 
-// Parallel batch decode into a contiguous (batch, max_samples) buffer.
-// Unused tails are zero-filled (the device pipeline is shape-static).
-// errors[i] receives the per-file status.
+// Parallel batch decode into a contiguous (batch, max_samples) buffer, each
+// file decimated by its own strides[i].  Unused tails are zero-filled (the
+// device pipeline is shape-static).  errors[i] receives the per-file status.
 int bpmwav_decode_batch(const char** paths, int32_t batch, float* out,
-                        int64_t max_samples, int32_t* sample_rates,
-                        int64_t* n_samples, int32_t* errors,
-                        int32_t num_threads) {
+                        int64_t max_samples, const int64_t* strides,
+                        int32_t* sample_rates, int64_t* n_samples,
+                        int32_t* errors, int32_t num_threads) {
   if (num_threads <= 0) {
     num_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
     if (num_threads <= 0) num_threads = 4;
@@ -169,9 +250,14 @@ int bpmwav_decode_batch(const char** paths, int32_t batch, float* out,
         i = next[0]++;
       }
       float* row = out + static_cast<int64_t>(i) * max_samples;
-      std::memset(row, 0, sizeof(float) * max_samples);
-      errors[i] =
-          decode_one(paths[i], row, max_samples, &sample_rates[i], &n_samples[i]);
+      n_samples[i] = 0;
+      errors[i] = decode_one(paths[i], row, max_samples,
+                             strides ? strides[i] : 1, &sample_rates[i],
+                             &n_samples[i]);
+      // Zero only the unwritten tail (rows can be large; a full memset of
+      // the whole buffer costs more than the decode itself).
+      std::memset(row + n_samples[i], 0,
+                  sizeof(float) * static_cast<size_t>(max_samples - n_samples[i]));
     }
   };
   const int32_t nt = num_threads < batch ? num_threads : batch;

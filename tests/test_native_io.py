@@ -59,3 +59,40 @@ def test_batch_decode_parallel(built, tmp_path):
         np.testing.assert_allclose(buf[i, :n], sig[:n].astype(np.float32))
         assert np.all(buf[i, n:] == 0)
     assert lengths[-1] == 0
+
+
+@pytest.mark.parametrize("stride,channels,dtype", [
+    (7, 1, np.int16), (146, 1, np.int16), (5, 2, np.float32), (3, 3, np.int16),
+])
+def test_strided_decode_equals_slice(built, tmp_path, stride, channels, dtype):
+    rng = np.random.RandomState(3)
+    n = 40000
+    if channels == 1:
+        sig = (rng.randn(n) * 1000).astype(dtype)
+    else:
+        sig = (rng.randn(n, channels) * 1000).astype(dtype)
+    p = str(tmp_path / f"s{stride}_{channels}.wav")
+    pywav.write(p, 44100, sig)
+    full = pywav.to_mono(sig).astype(np.float32)
+    sr, mono = native.decode_mono_f32(p, n, stride)
+    assert sr == 44100
+    np.testing.assert_allclose(mono, full[::stride], rtol=1e-6)
+
+
+def test_batch_strided_decode_into_caller_buffer(built, tmp_path):
+    rng = np.random.RandomState(4)
+    paths, refs, strides = [], [], [1, 4, 9]
+    for i, s in enumerate(strides):
+        sig = (rng.randn(9000 + 500 * i) * 1000).astype(np.int16)
+        p = str(tmp_path / f"b{i}.wav")
+        pywav.write(p, 302, sig)
+        paths.append(p)
+        refs.append(sig.astype(np.float32)[::s])
+    out = np.full((4, 10000), 7.0, np.float32)  # extra row + dirty fill
+    buf, rates, lengths = native.decode_batch_f32(paths, 10000,
+                                                  strides=strides, out=out)
+    assert buf is out
+    for i, ref in enumerate(refs):
+        assert lengths[i] == len(ref)
+        np.testing.assert_allclose(out[i, : len(ref)], ref)
+        assert np.all(out[i, len(ref):] == 0)  # tail zeroed, not dirty
