@@ -237,6 +237,16 @@ class RuntimeConfig:
     # decimation aliases broadband noise into ~23k extrema per 10-min
     # recording vs ~11k on the golden sample).
     find_peaks_work_factor: int = 4
+    # Slot-axis bound (as a multiple of the peak/trough capacity) for the
+    # prominence evaluation — the pipeline's hottest step; its descent
+    # gathers cost ~11 ns per slot-level element on TPU, so evaluating at
+    # the sound worst-case bound (n / ceil(distance) NMS survivors, ~12k for
+    # 10-min recordings) wastes 2-3x over realistic populations (vulpine:
+    # 4.2k trough NMS survivors at capacity 4096).  Distance survivors
+    # beyond factor * capacity are truncated WITH the overflow flag set
+    # (host raises; same contract as every capacity).  Raise the factor to
+    # restore the worst-case-sound slot width.
+    prominence_work_factor: float = 1.5
 
 
 @dataclasses.dataclass(frozen=True)

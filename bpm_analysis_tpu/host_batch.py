@@ -26,6 +26,7 @@ import functools
 import logging
 import os
 import shutil
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -210,6 +211,7 @@ def analyze_files_batched(
         input staging overlaps device compute.  Returns (chunk, ok_rows,
         device_args, staging_errors) — errors are merged on the main thread
         to keep the roster order deterministic."""
+        t0 = time.perf_counter()
         staging_errors: List[Tuple[str, str]] = []
         b = batch_bucket(len(chunk), max_batch)
         if mesh is not None:
@@ -249,6 +251,7 @@ def analyze_files_batched(
             audio[slot] = audio[0]
             n_valid[slot] = n_valid[0]
 
+        t1 = time.perf_counter()
         args = (jnp.asarray(audio), jnp.asarray(hint_arr),
                 jnp.asarray(n_valid))
         if mesh is not None:
@@ -256,6 +259,9 @@ def analyze_files_batched(
 
             shard = NamedSharding(mesh, P(mesh.axis_names))
             args = tuple(jax.device_put(a, shard) for a in args)
+        logging.debug("stage_chunk[%d files, bucket %d]: decode %.3fs "
+                      "dispatch-h2d %.3fs", len(chunk), bucket_len,
+                      t1 - t0, time.perf_counter() - t1)
         return chunk, ok_rows, args, staging_errors
 
     def process_chunk(sr: int, staged) -> None:
@@ -263,6 +269,7 @@ def analyze_files_batched(
         errors.extend(staging_errors)
         if args is None:
             return
+        t0 = time.perf_counter()
         run = _analyze_prefiltered_batch if pre_filtered else _analyze_padded_batch
         env_b, filt_b, nvd_b, res_b = run(*args, sr, cfg)
 
@@ -280,6 +287,7 @@ def analyze_files_batched(
             env_np = filt_np = None
             res_np = jax.device_get(res_b._replace(floor=None))
         nvd_np = np.asarray(nvd_b)
+        t1 = time.perf_counter()
         for slot, row in enumerate(ok_rows):
             orig = pairs[chunk[row]][1]
             res_i = _tree_row(res_np, slot)
@@ -304,6 +312,9 @@ def analyze_files_batched(
             except Exception as e:
                 logging.exception(f"post-processing failed for {orig}")
                 errors.append((orig, str(e)))
+        logging.debug("process_chunk[%d files]: compute+d2h %.3fs "
+                      "render %.3fs", len(chunk), t1 - t0,
+                      time.perf_counter() - t1)
 
     # --- double-buffered pipeline: stage chunk k+1 while chunk k computes ----
     if chunks:

@@ -75,6 +75,7 @@ def dynamic_noise_floor(
     troughs = fp.find_peaks(
         -env_m, cap, prominence=trough_prom, distance=min_dist,
         work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_troughs,
+        prominence_capacity=int(cfg.runtime.prominence_work_factor * cap),
     )
     slot = jnp.arange(cap)
     t_valid = slot < troughs.count

@@ -75,6 +75,7 @@ def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
         env_m, cap, height=floor, prominence=prom,
         distance=dist,
         work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks,
+        prominence_capacity=int(cfg.runtime.prominence_work_factor * cap),
     )
 
 

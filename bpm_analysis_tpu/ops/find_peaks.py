@@ -301,6 +301,7 @@ def find_peaks(
     prominence: Optional[jnp.ndarray] = None,
     distance: Optional[float] = None,
     work_capacity: Optional[int] = None,
+    prominence_capacity: Optional[int] = None,
 ) -> Peaks:
     """scipy.signal.find_peaks(x, height=height, prominence=prominence,
     distance=distance) with fixed output capacity.
@@ -315,6 +316,13 @@ def find_peaks(
     Populations beyond it are truncated from the tail and the returned
     ``Peaks.overflowed`` flag is set (as it is when the final survivor count
     exceeds ``capacity``), so size it generously (default 4x capacity).
+
+    ``prominence_capacity`` additionally bounds the slot axis of the
+    prominence evaluation (the descent gathers there are the most expensive
+    step in the pipeline at ~11 ns per gathered element: cost scales with
+    slots x levels).  Distance-NMS survivors beyond it are truncated with the
+    overflow flag set — the same contract as every other capacity.  None
+    keeps the sound static bound (n / ceil(distance) survivors max).
     """
     n = x.shape[0]
     work_capacity = work_capacity or 4 * capacity
@@ -326,6 +334,7 @@ def find_peaks(
     slot = jnp.arange(work_capacity)
     valid = slot < peaks.count
     pos = jnp.where(valid, peaks.positions, n - 1)
+    truncated = peaks.overflowed
 
     if distance is not None:
         keep = _select_by_distance(pos, x[pos], valid, distance)
@@ -336,7 +345,12 @@ def find_peaks(
             # prominence step (whose binary-search gathers dominate
             # find_peaks runtime) ~4-8x cheaper at realistic capacities.
             bound = n // max(int(-(-distance // 1)), 1) + 2
-            pos = pos[:min(work_capacity, -(-bound // 128) * 128)]
+            lim = min(work_capacity, -(-bound // 128) * 128)
+            if prominence_capacity is not None:
+                lim = min(lim, -(-prominence_capacity // 128) * 128)
+            pos = pos[:lim]
+            truncated = truncated | (count > lim)
+            count = jnp.minimum(count, lim)
         slot = jnp.arange(pos.shape[0])
         valid = slot < count
         pos = jnp.where(valid, pos, n - 1)
@@ -355,7 +369,7 @@ def find_peaks(
         out = jnp.concatenate(
             [out, jnp.full((capacity - out.shape[0],), n, out.dtype)])
     out_pos = out[:capacity].astype(jnp.int32)
-    overflowed = peaks.overflowed | (count > capacity)
+    overflowed = truncated | (count > capacity)
     return Peaks(out_pos, jnp.minimum(count, capacity), overflowed)
 
 

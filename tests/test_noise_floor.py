@@ -48,6 +48,7 @@ def _synthetic_env(n=40_000, seed=0):
     return jnp.asarray(env)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stride", [32, 64])
 def test_knots_backend_matches_strided_xla(stride):
     """The knot-domain quantile (ops/knot_quantile.py) computes the same
@@ -72,6 +73,7 @@ def test_knots_backend_matches_strided_xla(stride):
     np.testing.assert_allclose(fb, fa, rtol=3e-5, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_knots_backend_masked_prefix():
     """Padded run with traced n_valid == unpadded run on the valid prefix
     (the host_batch masking contract, knots backend)."""
