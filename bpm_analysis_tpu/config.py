@@ -247,6 +247,10 @@ class RuntimeConfig:
     # (host raises; same contract as every capacity).  Raise the factor to
     # restore the worst-case-sound slot width.
     prominence_work_factor: float = 1.5
+    # Candidate slots processed per classifier scan step.  The scan is
+    # sequential-step latency-bound; wider blocks cut step count at the
+    # cost of a larger step body (semantics identical at any width).
+    classifier_unroll: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -105,13 +105,13 @@ def bpm_series(positions: jnp.ndarray, count, sample_rate: int,
     dvalid = (slot[:-1] < count - 1) & (diffs > 1e-6)
     inst = 60.0 / jnp.where(dvalid, diffs, 1.0)
     times = t[1:]
-    # compact valid diffs to the front, keeping time order
-    order = jnp.argsort(jnp.where(dvalid, slot[:-1], cap), stable=True)
+    # compact valid diffs to the front, keeping time order — rank-scatter
+    # (cumsum + one scatter per array) instead of a device argsort
+    rank = jnp.cumsum(dvalid.astype(jnp.int32)) - 1
+    write = jnp.where(dvalid, rank, cap)          # cap = out of bounds, dropped
     vcount = jnp.sum(dvalid.astype(jnp.int32))
-    ctimes = jnp.where(slot[:-1] < vcount, times[order], jnp.nan)
-    cinst = jnp.where(slot[:-1] < vcount, inst[order], jnp.nan)
-    ctimes = jnp.concatenate([ctimes, jnp.full((1,), jnp.nan, dtype)])
-    cinst = jnp.concatenate([cinst, jnp.full((1,), jnp.nan, dtype)])
+    ctimes = jnp.full((cap,), jnp.nan, dtype).at[write].set(times, mode="drop")
+    cinst = jnp.full((cap,), jnp.nan, dtype).at[write].set(inst, mode="drop")
     valid = slot < vcount
 
     # Reference guard: smoothing only if median BPM > 0 — always true when

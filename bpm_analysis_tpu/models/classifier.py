@@ -407,8 +407,8 @@ def classify(
 
     # Scan-step economy: the transition is pure register math, so wall time
     # is sequential-step latency; processing UNROLL slots per scan step cuts
-    # the step count 4x at the cost of a 4x larger (still tiny) step body.
-    UNROLL = 4
+    # the step count at the cost of a larger (still tiny) step body.
+    UNROLL = cfg.runtime.classifier_unroll
     slots = jnp.arange(cap)
     pos_next = jnp.concatenate([positions[1:], jnp.full((1,), n, positions.dtype)])
     env_next = jnp.concatenate([env_at[1:], env_at[-1:]])
