@@ -143,7 +143,9 @@ def dynamic_noise_floor(
                                            dtype=envelope.dtype,
                                            min_spacing=max(min_dist, 1))
     draft = fix_tail_span(rolling_q(mask_tail(dense_draft)))
-    draft_filled = q.bfill_ffill(mask_tail(draft))
+    # NaNs here are structurally prefix/suffix runs (min_periods edges and
+    # the masked tail), so the cheap edge fill is exactly bfill().ffill().
+    draft_filled = q.edge_fill(mask_tail(draft))
 
     # --- sanitize troughs ---------------------------------------------------
     floor_at_trough = draft_filled[t_pos]
@@ -158,7 +160,7 @@ def dynamic_noise_floor(
                                            dtype=envelope.dtype,
                                            min_spacing=max(min_dist, 1))
     final = fix_tail_span(rolling_q(mask_tail(dense_final)))
-    final = q.bfill_ffill(mask_tail(final))
+    final = q.edge_fill(mask_tail(final))
 
     # --- fallback ladder ----------------------------------------------------
     floor = jnp.where(sane_count > 2, final, draft_filled)

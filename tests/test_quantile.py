@@ -34,6 +34,25 @@ def test_bfill_ffill():
     np.testing.assert_allclose(got, expected)
 
 
+def test_edge_fill_matches_bfill_ffill_on_edge_runs():
+    """edge_fill == bfill_ffill for every prefix/suffix NaN structure (the
+    only structure the noise-floor path produces), incl. all-NaN/no-NaN."""
+    rng = np.random.RandomState(3)
+    for lead in (0, 1, 7):
+        for trail in (0, 2, 5):
+            x = rng.randn(40)
+            if lead:
+                x[:lead] = np.nan
+            if trail:
+                x[-trail:] = np.nan
+            a = np.asarray(quantile.bfill_ffill(jnp.asarray(x)))
+            b = np.asarray(quantile.edge_fill(jnp.asarray(x)))
+            np.testing.assert_allclose(a, b, equal_nan=True)
+    allnan = np.full(16, np.nan)
+    np.testing.assert_array_equal(
+        np.asarray(quantile.edge_fill(jnp.asarray(allnan))), allnan)
+
+
 def test_draft_noise_floor_on_vulpine(oracle):
     """Draft floor = rolling quantile of the dense interpolated trough series
     (reference bpm_analysis.py:1081-1086)."""
