@@ -42,7 +42,7 @@ SR = 302
 NATIVE_SR = 44100
 MINUTES = 10
 N_SAMPLES = SR * 60 * MINUTES
-BATCH = 64
+BATCH = 128
 NATIVE_FILES = 64
 NATIVE_BATCH = 32          # host-side stride decimation stages (32, 2^18)
                            # chunks — ~16 MB each, not 2 GB of raw 44.1 kHz
@@ -408,7 +408,7 @@ def measure_native_e2e(native_paths: list, backend: str, stride: int,
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=BATCH,
-                   help="recordings per device batch (default 64)")
+                   help="recordings per device batch (default 128)")
     p.add_argument("--backend", default="auto", choices=["xla", "pallas", "auto"],
                    help="noise-floor quantile backend")
     p.add_argument("--stride", type=int, default=64,

@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", action="store_true",
                    help="analyze files in device batches (mixed lengths are "
                         "bucketed+padded; artifacts identical to serial mode)")
-    p.add_argument("--batch-size", type=int, default=64,
+    p.add_argument("--batch-size", type=int, default=128,
                    help="max recordings per device batch (default 64 — the "
                         "measured single-chip optimum, see bench.py)")
     p.add_argument("--dp", type=int, default=0,

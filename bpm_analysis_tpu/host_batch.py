@@ -116,7 +116,7 @@ def analyze_files_batched(
     cfg: AnalyzerConfig = DEFAULT_CONFIG,
     output_dir: str = "processed_files",
     hints: Optional[Sequence[Optional[float]]] = None,
-    max_batch: int = 64,
+    max_batch: int = 128,
     min_bucket: int = 1 << 15,
     pre_filtered: bool = False,
     render: bool = True,
