@@ -41,6 +41,17 @@ def safe_downsample_factor(sample_rate: int, cfg: AnalyzerConfig) -> int:
     return factor
 
 
+def edge_held(x: jnp.ndarray, n_valid):
+    """(valid mask, x with the padded tail held at ``x[n_valid-1]``) — the
+    shared masking every peak-finding stage applies so prominence/edge
+    semantics see the same "signal edge" the unpadded serial run sees.
+    ``n_valid=None`` returns ``(None, x)``."""
+    if n_valid is None:
+        return None, x
+    valid = jnp.arange(x.shape[0]) < n_valid
+    return valid, jnp.where(valid, x, x[jnp.maximum(n_valid - 1, 0)])
+
+
 def envelope_from_filtered(filtered: jnp.ndarray, sample_rate: int,
                            n_valid=None) -> jnp.ndarray:
     """abs → centered rolling mean of ``sr // 10`` samples

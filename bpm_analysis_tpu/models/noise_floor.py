@@ -33,6 +33,7 @@ from ..config import AnalyzerConfig
 from ..ops import find_peaks as fp
 from ..ops import quantile as q
 from ..ops import series
+from . import envelope as envm
 
 
 class NoiseFloorResult(NamedTuple):
@@ -45,7 +46,8 @@ class NoiseFloorResult(NamedTuple):
 
 
 def dynamic_noise_floor(
-    envelope: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig, n_valid=None
+    envelope: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig, n_valid=None,
+    env_tables=None,
 ) -> NoiseFloorResult:
     """``n_valid`` (traced) marks the valid prefix of a zero-padded envelope;
     results at positions < n_valid match the unpadded serial run exactly.
@@ -53,7 +55,12 @@ def dynamic_noise_floor(
     so local-maxima/prominence/edge semantics see the same "signal edge" the
     serial run sees, (b) NaN-masking it out of every rolling quantile (NaN ==
     missing == pandas' window truncation at the series end), and (c) masking
-    the global quantiles."""
+    the global quantiles.
+
+    ``env_tables``: optional precomputed ``(max_table, min_table)`` sparse
+    tables of the edge-held envelope (built once by the orchestrator and
+    shared with the raw-peak finder); troughs search ``-env``, whose tables
+    are the negated swap of the pair."""
     n = envelope.shape[0]
     ncfg = cfg.noise
     min_dist_cap = int(cfg.features.min_peak_distance_sec * sample_rate)
@@ -61,21 +68,21 @@ def dynamic_noise_floor(
               fp.distance_capacity_bound(n, max(min_dist_cap, 1)))
 
     idx = jnp.arange(n)
-    if n_valid is None:
-        valid = None
-        env_m = envelope
-    else:
-        valid = idx < n_valid
-        env_m = jnp.where(valid, envelope,
-                          envelope[jnp.maximum(n_valid - 1, 0)])
+    valid, env_m = envm.edge_held(envelope, n_valid)
 
     min_dist = min_dist_cap
     trough_prom = q.quantile_exact(envelope, cfg.features.trough_prominence_quantile,
                                    valid=valid)
+    neg_tables = {}
+    if env_tables is not None:
+        # Tables are of env == -(-env_m): descents flip in place, no copies.
+        neg_tables = dict(max_table=env_tables[0], min_table=env_tables[1],
+                          tables_negated=True)
     troughs = fp.find_peaks(
         -env_m, cap, prominence=trough_prom, distance=min_dist,
         work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_troughs,
         prominence_capacity=int(cfg.runtime.prominence_work_factor * cap),
+        **neg_tables,
     )
     slot = jnp.arange(cap)
     t_valid = slot < troughs.count

@@ -30,6 +30,7 @@ from ..ops import quantile as quantile_ops
 from ..ops import series
 from .. import types
 from . import analytics, classifier, corrections, noise_floor
+from . import envelope as envm
 
 
 class PipelineResult(NamedTuple):
@@ -58,24 +59,26 @@ class PipelineResult(NamedTuple):
 
 
 def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
-              cfg: AnalyzerConfig, n_valid=None) -> fp.Peaks:
-    """``PeakClassifier._find_raw_peaks`` (bpm_analysis.py:223-229)."""
-    if n_valid is None:
-        valid, env_m = None, envelope
-    else:
-        valid = jnp.arange(envelope.shape[0]) < n_valid
-        env_m = jnp.where(valid, envelope,
-                          envelope[jnp.maximum(n_valid - 1, 0)])
+              cfg: AnalyzerConfig, n_valid=None, env_tables=None) -> fp.Peaks:
+    """``PeakClassifier._find_raw_peaks`` (bpm_analysis.py:223-229).
+
+    ``env_tables``: optional shared ``(max_table, min_table)`` of the
+    edge-held envelope (see ``analyze_envelope``)."""
+    valid, env_m = envm.edge_held(envelope, n_valid)
     prom = quantile_ops.quantile_exact(envelope, cfg.features.peak_prominence_quantile,
                                        valid=valid)
     dist = int(cfg.features.min_peak_distance_sec * sample_rate)
     cap = min(cfg.runtime.max_raw_peaks,
               fp.distance_capacity_bound(envelope.shape[0], dist))
+    tables = {}
+    if env_tables is not None:
+        tables = dict(max_table=env_tables[0], min_table=env_tables[1])
     return fp.find_peaks(
         env_m, cap, height=floor, prominence=prom,
         distance=dist,
         work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks,
         prominence_capacity=int(cfg.runtime.prominence_work_factor * cap),
+        **tables,
     )
 
 
@@ -124,8 +127,17 @@ def analyze_envelope(envelope: jnp.ndarray, sample_rate: int,
     n = envelope.shape[0]
     start_bpm_hint = jnp.asarray(start_bpm_hint, dtype)
 
-    nf = noise_floor.dynamic_noise_floor(envelope, sample_rate, cfg, n_valid=n_valid)
-    peaks = raw_peaks(envelope, nf.floor, sample_rate, cfg, n_valid=n_valid)
+    # Sparse max/min tables of the edge-held envelope, built once and shared
+    # by the trough finder (on -env: tables swap and negate) and the raw-peak
+    # finder — each build costs ~75 ms per 128x181k batch on chip.
+    _, env_m = envm.edge_held(envelope, n_valid)
+    env_tables = (fp._sparse_table(env_m, jnp.maximum),
+                  fp._sparse_table(env_m, jnp.minimum))
+
+    nf = noise_floor.dynamic_noise_floor(envelope, sample_rate, cfg,
+                                         n_valid=n_valid, env_tables=env_tables)
+    peaks = raw_peaks(envelope, nf.floor, sample_rate, cfg, n_valid=n_valid,
+                      env_tables=env_tables)
 
     start_bpm, peak_time, recovery_end = preliminary_pass(
         envelope, nf.floor, peaks, sample_rate, start_bpm_hint, cfg

@@ -114,33 +114,40 @@ def _range_query(table: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, op) -> jnp.
     return op(left, right)
 
 
-def _last_above(max_table: jnp.ndarray, v: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+def _last_above(max_table: jnp.ndarray, v: jnp.ndarray, r: jnp.ndarray,
+                flip: bool = False) -> jnp.ndarray:
     """Largest i in [0, r] with x[i] > v, or -1 — dyadic sparse-table
     descent: walk left from r+1, skipping each power-of-two block whose max
     is <= v.  One aligned row-gather per level (the bisection this replaced
-    cost four scattered gathers per step)."""
+    cost four scattered gathers per step).
+
+    ``flip=True`` reads ``max_table`` as the MIN-table of ``-x`` (and ``v``
+    as ``-v``): the skip test becomes ``seg >= v``.  Lets a caller searching
+    a negated signal reuse the other sign's tables without materializing
+    negated copies."""
     levels = max_table.shape[0]
     pos = r + 1                       # elements [0, pos) remain candidates
     for k in reversed(range(levels)):  # static unroll, ~log2(n) levels
         step = 1 << k
-        seg_max = max_table[k, jnp.maximum(pos - step, 0)]
-        move = (pos >= step) & (seg_max <= v)
+        seg = max_table[k, jnp.maximum(pos - step, 0)]
+        move = (pos >= step) & ((seg >= v) if flip else (seg <= v))
         pos = jnp.where(move, pos - step, pos)
     return pos - 1                    # pos == 0 -> no element above v
 
 
-def _first_above(max_table: jnp.ndarray, v: jnp.ndarray, l: jnp.ndarray) -> jnp.ndarray:
+def _first_above(max_table: jnp.ndarray, v: jnp.ndarray, l: jnp.ndarray,
+                 flip: bool = False) -> jnp.ndarray:
     """Smallest i in [l, n-1] with x[i] > v, or n — mirror descent walking
     right from l (table rows clamp at the array end, so a partial trailing
     block reduces over the remaining elements, which is exactly the skip
-    test needed)."""
+    test needed).  ``flip`` as in ``_last_above``."""
     n = max_table.shape[1]
     levels = max_table.shape[0]
     pos = l
     for k in reversed(range(levels)):
         step = 1 << k
-        seg_max = max_table[k, jnp.minimum(pos, n - 1)]
-        move = (pos < n) & (seg_max <= v)
+        seg = max_table[k, jnp.minimum(pos, n - 1)]
+        move = (pos < n) & ((seg >= v) if flip else (seg <= v))
         pos = jnp.minimum(jnp.where(move, pos + step, pos), n)
     return pos                        # n -> no element above v
 
@@ -151,19 +158,34 @@ def peak_prominences(
     valid: jnp.ndarray,
     max_table: Optional[jnp.ndarray] = None,
     min_table: Optional[jnp.ndarray] = None,
+    tables_negated: bool = False,
 ) -> jnp.ndarray:
-    """Prominence of each (valid) peak position, scipy ``wlen=None``."""
+    """Prominence of each (valid) peak position, scipy ``wlen=None``.
+
+    ``tables_negated=True`` declares the supplied tables were built on
+    ``-x`` (e.g. the trough finder searching ``-env`` reusing the raw-peak
+    finder's envelope tables): descents flip their comparisons and range
+    results flip sign, avoiding two table-sized negation copies."""
     n = x.shape[0]
-    if max_table is None:
+    if max_table is None or min_table is None:
         max_table = _sparse_table(x, jnp.maximum)
-    if min_table is None:
         min_table = _sparse_table(x, jnp.minimum)
+        tables_negated = False
     p = jnp.clip(positions, 0, n - 1)
     v = x[p]
-    lb = _last_above(max_table, v, p) + 1           # in [0, p]
-    rb = _first_above(max_table, v, p) - 1          # in [p, n-1]
-    left_min = _range_query(min_table, jnp.maximum(lb, 0), p, jnp.minimum)
-    right_min = _range_query(min_table, p, jnp.minimum(rb, n - 1), jnp.minimum)
+    if tables_negated:
+        # max of x over a block == -(min of -x); min of x == -(max of -x).
+        lb = _last_above(min_table, -v, p, flip=True) + 1
+        rb = _first_above(min_table, -v, p, flip=True) - 1
+        left_min = -_range_query(max_table, jnp.maximum(lb, 0), p, jnp.maximum)
+        right_min = -_range_query(max_table, p, jnp.minimum(rb, n - 1),
+                                  jnp.maximum)
+    else:
+        lb = _last_above(max_table, v, p) + 1           # in [0, p]
+        rb = _first_above(max_table, v, p) - 1          # in [p, n-1]
+        left_min = _range_query(min_table, jnp.maximum(lb, 0), p, jnp.minimum)
+        right_min = _range_query(min_table, p, jnp.minimum(rb, n - 1),
+                                 jnp.minimum)
     prom = v - jnp.maximum(left_min, right_min)
     return jnp.where(valid, prom, 0.0)
 
@@ -302,6 +324,9 @@ def find_peaks(
     distance: Optional[float] = None,
     work_capacity: Optional[int] = None,
     prominence_capacity: Optional[int] = None,
+    max_table: Optional[jnp.ndarray] = None,
+    min_table: Optional[jnp.ndarray] = None,
+    tables_negated: bool = False,
 ) -> Peaks:
     """scipy.signal.find_peaks(x, height=height, prominence=prominence,
     distance=distance) with fixed output capacity.
@@ -323,6 +348,12 @@ def find_peaks(
     slots x levels).  Distance-NMS survivors beyond it are truncated with the
     overflow flag set — the same contract as every other capacity.  None
     keeps the sound static bound (n / ceil(distance) survivors max).
+
+    ``max_table``/``min_table``: precomputed sparse tables of ``x`` (see
+    ``_sparse_table``) for the prominence step.  The trough and raw-peak
+    calls run on the same masked envelope up to sign, so the orchestrator
+    builds the pair once and shares it (max(-x) == -min(x)); each build
+    costs ~75 ms per 128x181k batch on chip.
     """
     n = x.shape[0]
     work_capacity = work_capacity or 4 * capacity
@@ -358,7 +389,9 @@ def find_peaks(
         count = peaks.count
 
     if prominence is not None:
-        prom = peak_prominences(x, pos, valid)
+        prom = peak_prominences(x, pos, valid, max_table=max_table,
+                                min_table=min_table,
+                                tables_negated=tables_negated)
         keep = valid & (prom >= jnp.asarray(prominence, x.dtype))
         pos, count = _recompact(pos, keep, n)
         valid = slot < count
