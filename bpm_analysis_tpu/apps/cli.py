@@ -41,8 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="analyze files in device batches (mixed lengths are "
                         "bucketed+padded; artifacts identical to serial mode)")
     p.add_argument("--batch-size", type=int, default=128,
-                   help="max recordings per device batch (default 64 — the "
+                   help="max recordings per device batch (default 128 — the "
                         "measured single-chip optimum, see bench.py)")
+    p.add_argument("--dtype", choices=["float32", "float64"], default=None,
+                   help="compute dtype (default: config value, float32). "
+                        "float64 reproduces the CPU reference byte-exactly; "
+                        "float32 (the TPU-native dtype) matches beat-for-beat "
+                        "with BPM values within ~0.001 of the 3-decimal CSV "
+                        "rounding")
     p.add_argument("--dp", type=int, default=0,
                    help="shard batches over this many devices (0 = all "
                         "visible devices when >1, else unsharded)")
@@ -69,6 +75,18 @@ def main(argv=None) -> int:
 
     enable_persistent_compile_cache()
 
+    cfg = DEFAULT_CONFIG
+    if args.dtype and args.dtype != cfg.runtime.dtype:
+        import dataclasses
+
+        import jax
+
+        if args.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
+        cfg = dataclasses.replace(
+            cfg, runtime=dataclasses.replace(cfg.runtime, dtype=args.dtype))
+    args._cfg = cfg
+
     files = args.files or discover_files()
     if not files:
         print("No input files (and none discovered in the working directory).",
@@ -92,7 +110,7 @@ def main(argv=None) -> int:
         hint = file_hint(path)
         try:
             result = analyze_any_file(
-                path, DEFAULT_CONFIG, hint, args.output_dir, pre_filtered=args.pre_filtered
+                path, args._cfg, hint, args.output_dir, pre_filtered=args.pre_filtered
             )
             print_result(path, result, args.output_dir)
         except Exception as e:  # per-file isolation (gui.py:247-257)
@@ -140,7 +158,7 @@ def run_batched(args, files, file_hint) -> int:
 
             mesh = make_mesh(devs[:dp])
     results, errors = host_batch.analyze_files_batched(
-        files, DEFAULT_CONFIG, args.output_dir,
+        files, args._cfg, args.output_dir,
         hints=[file_hint(f) for f in files],
         max_batch=args.batch_size, pre_filtered=args.pre_filtered, mesh=mesh,
     )

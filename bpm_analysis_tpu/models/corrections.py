@@ -124,12 +124,31 @@ def _fix_iteration(
 
     rr = (pos[1:] - pos[:-1]).astype(dtype) / sr
     rr_valid = slot[:-1] < s1_count - 1
-    q1 = series.masked_quantile(rr, rr_valid, 0.25)
-    q3 = series.masked_quantile(rr, rr_valid, 0.75)
+
+    # One sort serves q1, q3 AND the IQR-filtered median: the stable subset
+    # (q1-1.5*IQR < rr < q3+1.5*IQR) is a contiguous run of the sorted valid
+    # prefix, so its median is an interpolated lookup — bit-identical to
+    # masked_quantile on the stable mask, 1 sort instead of 3 per iteration.
+    big = jnp.finfo(dtype).max
+    s = jnp.sort(jnp.where(rr_valid, rr, big))
+    nvr = jnp.sum(rr_valid.astype(jnp.int32))
+
+    def q_at(qv, m, offset):
+        p = qv * jnp.maximum(m - 1, 0).astype(dtype)
+        lo = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, jnp.maximum(m - 1, 0))
+        hi = jnp.clip(jnp.ceil(p).astype(jnp.int32), 0, jnp.maximum(m - 1, 0))
+        frac = p - lo.astype(dtype)
+        out = s[offset + lo] * (1 - frac) + s[offset + hi] * frac
+        return jnp.where(m > 0, out, jnp.nan)
+
+    q1 = q_at(0.25, nvr, 0)
+    q3 = q_at(0.75, nvr, 0)
     iqr = q3 - q1
-    stable = rr_valid & (rr > q1 - 1.5 * iqr) & (rr < q3 + 1.5 * iqr)
-    any_stable = jnp.sum(stable.astype(jnp.int32)) >= 1
-    median_rr = series.masked_median(rr, stable)
+    lo_b, hi_b = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    a = jnp.sum((rr_valid & (rr <= lo_b)).astype(jnp.int32))
+    m = jnp.sum((rr_valid & (rr < hi_b)).astype(jnp.int32)) - a
+    any_stable = m >= 1
+    median_rr = q_at(0.5, m, a)
     short_thresh = median_rr * c.rr_correction_threshold_pct
     long_thresh = median_rr * c.rr_correction_long_interval_pct
 
