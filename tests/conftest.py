@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # codegen race, and on this single-core machine the split is pure overhead.
 if "xla_cpu_parallel_codegen_split_count" not in flags:
     flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+# O0 backend codegen: the fast tier is XLA:CPU-compile-bound (~80% of wall
+# time is LLVM codegen of programs that then execute in milliseconds), and
+# O0 cuts the suite ~35% with identical results (no fast-math either way;
+# the slow-tier goldens pin exact parity).  Override by putting an explicit
+# --xla_backend_optimization_level in XLA_FLAGS.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

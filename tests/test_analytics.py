@@ -5,7 +5,18 @@ from bpm_analysis_tpu.config import DEFAULT_CONFIG
 from bpm_analysis_tpu.models import analytics
 
 
+_METRICS_CACHE = {}
+
+
 def _metrics(oracle, cfg=DEFAULT_CONFIG):
+    # compute_metrics is pure and cfg is frozen/hashable: memoize so the six
+    # oracle-parity tests share one execution instead of re-running it.
+    if cfg not in _METRICS_CACHE:
+        _METRICS_CACHE[cfg] = _metrics_uncached(oracle, cfg)
+    return _METRICS_CACHE[cfg]
+
+
+def _metrics_uncached(oracle, cfg):
     final = oracle["final_peaks"]
     sr = int(oracle["sample_rate"])
     cap = cfg.runtime.max_candidates

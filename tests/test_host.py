@@ -1,4 +1,5 @@
 """Host orchestration end-to-end: file in → artifact set out."""
+import dataclasses
 import os
 
 import numpy as np
@@ -12,8 +13,18 @@ from bpm_analysis_tpu.models import envelope as envm
 
 SR = 302
 
+# Small capacities for the end-to-end artifact test: a 60 s / 100 bpm
+# synthetic recording has ~200 raw peaks, so capacity 512 is generous while
+# shrinking the one-shot pipeline compile ~4x (the full-capacity graphs are
+# exercised by the slow-tier vulpine goldens).
+SMALL_CFG = dataclasses.replace(
+    DEFAULT_CONFIG,
+    runtime=dataclasses.replace(DEFAULT_CONFIG.runtime, max_raw_peaks=512,
+                                max_troughs=512, max_candidates=256),
+)
 
-def _synthetic_wav(path, seconds=60, bpm=100.0):
+
+def _synthetic_wav(path, seconds=40, bpm=100.0):
     n = SR * seconds
     sig = np.zeros(n, np.float32)
     period = 60.0 / bpm * SR
@@ -30,7 +41,7 @@ def _synthetic_wav(path, seconds=60, bpm=100.0):
 def test_analyze_wav_file_produces_artifact_set(tmp_path):
     src = str(tmp_path / "rec.wav")
     _synthetic_wav(src)
-    result = host.analyze_wav_file(src, DEFAULT_CONFIG, None, output_directory=str(tmp_path))
+    result = host.analyze_wav_file(src, SMALL_CFG, None, output_directory=str(tmp_path))
     assert result is not None and bool(result.ok)
     for suffix in ("_bpm_plot.csv", "_bpm_plot.html", "_Analysis_Summary.md",
                    "_Debug_Log.md", "_Analysis_Settings.json", "_filtered_debug.wav"):
@@ -44,7 +55,7 @@ def test_analyze_wav_file_produces_artifact_set(tmp_path):
 def test_analyze_too_short_returns_none(tmp_path):
     src = str(tmp_path / "tiny.wav")
     wav.write(src, SR, np.zeros(SR, np.int16))
-    result = host.analyze_wav_file(src, DEFAULT_CONFIG, None, output_directory=str(tmp_path))
+    result = host.analyze_wav_file(src, SMALL_CFG, None, output_directory=str(tmp_path))
     assert result is None
     # Settings are still persisted (reference saves them regardless).
     assert (tmp_path / "tiny_Analysis_Settings.json").exists()
