@@ -11,7 +11,7 @@ from bpm_analysis_tpu.ops.pallas import quantile_kernel as qk
 @pytest.mark.parametrize("window,stride", [(603, 8), (301, 4)])
 def test_pallas_matches_xla_strided(window, stride):
     rng = np.random.RandomState(0)
-    x = np.abs(rng.randn(2, 6000).astype(np.float32)) * 100
+    x = np.abs(rng.randn(2, 3000).astype(np.float32)) * 100
     x[0, :40] = np.nan
     got = np.asarray(qk.rolling_quantile_strided_pallas(
         jnp.asarray(x), window, 0.2, 3, stride=stride, interpret=True))
@@ -25,7 +25,7 @@ def test_pallas_matches_xla_strided(window, stride):
 
 def test_pallas_single_recording_shape():
     rng = np.random.RandomState(1)
-    x = np.abs(rng.randn(5000).astype(np.float32))
+    x = np.abs(rng.randn(2500).astype(np.float32))
     got = qk.rolling_quantile_strided_pallas(jnp.asarray(x), 301, 0.5, 1,
                                              stride=8, interpret=True)
-    assert got.shape == (5000,)
+    assert got.shape == (2500,)

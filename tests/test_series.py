@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pytest
 import jax.numpy as jnp
 
 from bpm_analysis_tpu.ops import series
@@ -36,28 +37,40 @@ def test_interpolate_dense_on_vulpine(oracle):
     np.testing.assert_allclose(got, oracle["dense_troughs"], rtol=1e-12, equal_nan=True)
 
 
-def test_interpolate_dense_spacing_kernel():
+@pytest.mark.parametrize(
+    "n,spacing,seed",
+    [
+        # Two fast cases cover both spacing regimes (each is a distinct
+        # compile, ~5 s apiece on CPU): below the 128-sample block size with
+        # a ragged tail, and above it.
+        (4999, 84, 1),
+        (1000, 150, 2),
+        pytest.param(5000, 37, 0, marks=pytest.mark.slow),
+        pytest.param(301, 20, 3, marks=pytest.mark.slow),
+    ],
+)
+def test_interpolate_dense_spacing_kernel(n, spacing, seed):
     """The spacing-aware block kernel must match pandas exactly whenever its
     spacing precondition holds (adjacent knots >= min_spacing apart) — across
     spacings above/below the 128-sample block size and ragged tails."""
-    rng = np.random.RandomState(3)
-    for n, spacing, seed in ((5000, 37, 0), (4999, 84, 1), (1000, 150, 2),
-                             (301, 20, 3)):
-        rng = np.random.RandomState(seed)
-        gaps = rng.randint(spacing, spacing + 120, size=200)
-        pos = np.cumsum(gaps) + rng.randint(0, spacing)
-        pos = pos[pos < n]
-        val = rng.randn(len(pos))
-        expected = pd.Series(val, index=pos).reindex(np.arange(n)).interpolate().values
-        cap = 256
-        kp = np.full(cap, 0)
-        kv = np.zeros(cap)
-        kp[: len(pos)] = pos
-        kv[: len(val)] = val
-        got = np.asarray(series.interpolate_dense(
-            jnp.asarray(kp), jnp.asarray(kv), len(pos), n, dtype=jnp.float64,
-            min_spacing=spacing))
-        np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+    rng = np.random.RandomState(seed)
+    gaps = rng.randint(spacing, spacing + 120, size=200)
+    pos = np.cumsum(gaps) + rng.randint(0, spacing)
+    pos = pos[pos < n]
+    val = rng.randn(len(pos))
+    expected = pd.Series(val, index=pos).reindex(np.arange(n)).interpolate().values
+    cap = 256
+    kp = np.full(cap, 0)
+    kv = np.zeros(cap)
+    kp[: len(pos)] = pos
+    kv[: len(val)] = val
+    got = np.asarray(series.interpolate_dense(
+        jnp.asarray(kp), jnp.asarray(kv), len(pos), n, dtype=jnp.float64,
+        min_spacing=spacing))
+    np.testing.assert_allclose(got, expected, rtol=1e-12, equal_nan=True)
+
+
+def test_interpolate_dense_no_knots():
     # Degenerate: no knots -> all NaN.
     got = np.asarray(series.interpolate_dense(
         jnp.zeros(16, jnp.int32), jnp.zeros(16), 0, 200, dtype=jnp.float64,
