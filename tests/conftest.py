@@ -17,12 +17,21 @@ if "xla_force_host_platform_device_count" not in flags:
 # codegen race, and on this single-core machine the split is pure overhead.
 if "xla_cpu_parallel_codegen_split_count" not in flags:
     flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
-# O0 backend codegen: the fast tier is XLA:CPU-compile-bound (~80% of wall
-# time is LLVM codegen of programs that then execute in milliseconds), and
-# O0 cuts the suite ~35% with identical results (no fast-math either way;
-# the slow-tier goldens pin exact parity).  Override by putting an explicit
+# O0 backend codegen for the FAST tier only: it is XLA:CPU-compile-bound
+# (~80% of wall time is LLVM codegen of programs that then execute in
+# milliseconds) and O0 cuts the suite ~35%.  O0 is NOT numerically
+# transparent — optimization-level-dependent fusion/vectorization shifts
+# float results by ~1 ulp-scale amounts, enough to flip the byte-exact
+# golden debug-log/summary parity tests — so any invocation that selects
+# slow-marked tests (argv sniff: `-m slow`, also present in the
+# fork-per-file children) keeps the default O2, matching the profile the
+# goldens were pinned under.  Override with an explicit
 # --xla_backend_optimization_level in XLA_FLAGS.
-if "xla_backend_optimization_level" not in flags:
+import sys as _sys
+
+_argv = " ".join(_sys.argv)
+_slow_selected = "slow" in _argv and "not slow" not in _argv
+if "xla_backend_optimization_level" not in flags and not _slow_selected:
     flags = (flags + " --xla_backend_optimization_level=0").strip()
 os.environ["XLA_FLAGS"] = flags
 
@@ -82,8 +91,10 @@ def pytest_runtestloop(session):
 
     env = dict(os.environ)
     env["_BPM_SLOW_TIER_INNER"] = "1"
+    # pytest 8 spells -x as maxfail=1 (there is no `exitfirst` attribute).
+    exitfirst = bool(getattr(config.option, "maxfail", 0))
     extra = []
-    if config.option.exitfirst:
+    if exitfirst:
         extra.append("-x")
     if getattr(config.option, "keyword", ""):
         extra += ["-k", config.option.keyword]
@@ -94,7 +105,7 @@ def pytest_runtestloop(session):
             env=env)
         if rc != 0:
             failed += 1
-            if config.option.exitfirst:
+            if exitfirst:
                 break
     session.testsfailed = failed
     return True
