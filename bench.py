@@ -418,12 +418,12 @@ def main():
     p.add_argument("--skip-native", action="store_true",
                    help="skip the end-to-end native-rate measurement")
     p.add_argument("--sweep", action="store_true",
-                   help="print a batch-size scaling curve (8/16/32/64) as extra "
-                        "JSON lines before the headline line")
+                   help="print a batch-size scaling curve (32/64/128/256) as "
+                        "extra JSON lines before the headline line")
     args = p.parse_args()
 
     if args.sweep:
-        for b in (8, 16, 32, 64):
+        for b in (32, 64, 128, 256):
             t, _ = measure_tpu(b, args.backend, args.stride)
             print(json.dumps({"metric": "sweep", "batch": b,
                               "value": round(t, 2), "unit": "audio-min/sec/chip"}),
