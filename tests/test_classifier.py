@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,3 +91,47 @@ def test_anchor_pass_matches_oracle(oracle):
 def None_to_default():
     # Reference: start hint None -> 80.0 (bpm_analysis.py:103)
     return 80.0
+
+
+@pytest.mark.slow
+def test_unroll_width_invariance():
+    """classifier_unroll is a pure scheduling knob: any width must produce
+    bit-identical classifications, S1 sets, and deviation series (the vulpine
+    oracle was also verified identical at widths 4/8/16 offline)."""
+    import dataclasses
+
+    rng = np.random.RandomState(7)
+    sr = 302
+    n = sr * 30
+    env = np.abs(rng.randn(n)).astype(np.float64) * 5
+    period = int(60.0 / 95.0 * sr)
+    beats = np.arange(2, n // period) * period
+    env[beats] += 400.0
+    s2 = beats + int(0.33 * period)
+    env[s2[s2 < n]] += 150.0
+    peaks = np.sort(np.concatenate([beats, s2[s2 < n]])).astype(np.int32)
+    floor = np.full(n, 20.0)
+
+    sigs = []
+    for u in (1, 4, 8):
+        cfg = dataclasses.replace(
+            DEFAULT_CONFIG,
+            runtime=dataclasses.replace(DEFAULT_CONFIG.runtime,
+                                        max_raw_peaks=128, max_troughs=128,
+                                        max_candidates=64,
+                                        classifier_unroll=u))
+        cap = cfg.runtime.max_raw_peaks
+        pos = np.full(cap, n, dtype=np.int32)
+        pos[: len(peaks)] = peaks
+        res = classifier.classify(
+            jnp.asarray(env), jnp.asarray(floor), jnp.asarray(pos),
+            jnp.asarray(len(peaks)), sr, 95.0, cfg)
+        sigs.append((
+            np.asarray(res.trace.peak_class)[: len(peaks)],
+            np.asarray(res.s1_positions)[: int(res.s1_count)],
+            np.asarray(res.smoothed_deviation)[: len(peaks) - 1],
+        ))
+    for got in sigs[1:]:
+        np.testing.assert_array_equal(got[0], sigs[0][0])
+        np.testing.assert_array_equal(got[1], sigs[0][1])
+        np.testing.assert_array_equal(got[2], sigs[0][2])
