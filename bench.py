@@ -288,13 +288,14 @@ def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
 # --- TPU measurements ------------------------------------------------------
 
 def _bench_cfg(stride: int, backend: str, candidates: int = 2048,
-               work_factor: int = 4):
+               work_factor: int = 4, prom_factor: float = 1.5):
     from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
 
     return AnalyzerConfig(runtime=RuntimeConfig(
         max_raw_peaks=4096, max_troughs=4096, max_candidates=candidates,
         dtype="float32", noise_quantile_stride=stride, quantile_backend=backend,
-        find_peaks_work_factor=work_factor))
+        find_peaks_work_factor=work_factor,
+        prominence_work_factor=prom_factor))
 
 
 def _enable_cache():
@@ -378,7 +379,14 @@ def measure_native_e2e(native_paths: list, backend: str, stride: int,
     # Native-rate recordings carry more raw peaks (~2.5k) and far more
     # pre-pruning local extrema (~23k aliased-noise minima per file) than
     # the 302 Hz batch; every detected event must fit (overflow raises).
-    cfg = _bench_cfg(stride, backend, candidates=4096, work_factor=8)
+    # Distance-NMS survivors measured at ~6.3k peaks / ~6.9k troughs per
+    # file, so the prominence slot axis needs factor 2.0 (8192 slots) here
+    # (the default 1.5 x 4096 = 6144 truncates and the host raises).
+    # candidates=3072: the aliased files carry ~2.46k raw peaks (vs ~1.5k at
+    # 302 Hz synth quality); 3072 holds them with 25% headroom while keeping
+    # the sequential classifier scan 25% shorter than the 4096 worst case.
+    cfg = _bench_cfg(stride, backend, candidates=3072, work_factor=8,
+                     prom_factor=2.0)
     outdir = os.path.dirname(native_paths[0])
 
     # Warmup: compiles the (batch, bucket) program on a fleet subset.

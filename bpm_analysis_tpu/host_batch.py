@@ -42,10 +42,20 @@ from . import host
 
 
 def length_bucket(n: int, min_bucket: int = 1 << 15) -> int:
-    """Smallest power-of-two >= n (>= min_bucket)."""
+    """Smallest size from the half-octave grid {2^k, 1.5 * 2^k} that is
+    >= n (>= min_bucket).  The 1.5 * 2^k steps cap padding waste at ~33%
+    (pure powers of two waste up to 2x) — padding is paid three times over:
+    host->device transfer bytes (the bottleneck on tunneled devices), the
+    dense-axis device compute, and the staging buffer.  The grid still
+    yields O(log) distinct compiled programs across arbitrary file lengths;
+    every 1.5 * 2^k size (k >= 8) stays divisible by 128 for the Pallas
+    kernel tilings."""
     b = min_bucket
     while b < n:
         b <<= 1
+    half = 3 * (b >> 2)
+    if half >= n and half >= min_bucket:
+        return half
     return b
 
 
@@ -64,6 +74,11 @@ def _analyze_padded_batch(audio, hints, n_valid, sample_rate: int,
     (envelope, filtered, decimated valid length, PipelineResult)."""
 
     def one(x, h, nv):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            # int16 staging fast path: rows arrive as raw PCM16 samples
+            # (half the host->device bytes); the cast is exact — every
+            # int16 is representable in float32.
+            x = x.astype(jnp.dtype(cfg.runtime.dtype))
         env, filtered, _rate, nv_dec = envm.preprocess(x, sample_rate, cfg,
                                                        n_valid=nv)
         res = pipeline.analyze_envelope(env, _post_rate(sample_rate, cfg), cfg,
@@ -162,7 +177,7 @@ def analyze_files_batched(
             meta.append(None)  # conversion failure already on the roster
             continue
         try:
-            sr, nframes = wav.probe(wav_path)
+            sr, nframes, audio_fmt, channels, bits = wav.probe_full(wav_path)
             if nframes < 16:
                 raise ValueError("empty or near-empty recording")
             factor = 1
@@ -181,13 +196,17 @@ def analyze_files_batched(
                 # AGAIN by the device program's own clamp — ship the native
                 # signal and let the device decimate once, as serial does.
                 host_factor = 1
-            meta.append((sr, nframes, host_factor))
+            # Mono PCM16 sources stage as raw int16 (half the H2D bytes;
+            # the device casts to float, exactly).  The flag is part of the
+            # group key so a chunk's staging buffer has one dtype.
+            i16 = bool(audio_fmt == 1 and bits == 16 and channels == 1)
+            meta.append((sr, nframes, host_factor, i16))
             if host_factor > 1:
                 # Program key: post-decimation rate + decimated bucket (files
                 # of different native rates can share one compiled program).
-                key = (sr // factor, length_bucket(n_dec, min_bucket))
+                key = (sr // factor, length_bucket(n_dec, min_bucket), i16)
             else:
-                key = (sr, length_bucket(nframes, min_bucket))
+                key = (sr, length_bucket(nframes, min_bucket), i16)
             groups.setdefault(key, []).append(i)
         except Exception as e:
             meta.append(None)
@@ -199,12 +218,13 @@ def analyze_files_batched(
         dp = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
     # --- chunk work list -----------------------------------------------------
-    chunks: List[Tuple[int, int, List[int]]] = []
-    for (sr, bucket_len), idxs in sorted(groups.items()):
+    chunks: List[Tuple[int, int, bool, List[int]]] = []
+    for (sr, bucket_len, i16), idxs in sorted(groups.items()):
         for chunk_start in range(0, len(idxs), max_batch):
-            chunks.append((sr, bucket_len, idxs[chunk_start:chunk_start + max_batch]))
+            chunks.append((sr, bucket_len, i16,
+                           idxs[chunk_start:chunk_start + max_batch]))
 
-    def stage_chunk(sr: int, bucket_len: int, chunk: List[int]):
+    def stage_chunk(sr: int, bucket_len: int, i16: bool, chunk: List[int]):
         """Decode + pad + host->device transfer for one chunk.  Runs on the
         staging thread while the previous chunk computes on device (JAX
         dispatch is thread-safe; ``device_put`` only enqueues the DMA), so
@@ -222,8 +242,9 @@ def analyze_files_batched(
         # only every host_factor-th frame (the compat decimation slice), so
         # for 44.1 kHz sources it writes ~180k samples/file instead of
         # converting all 26M (and the skipped frames are never converted).
-        audio = np.zeros((b, bucket_len), np.float32)
-        _, rates, lengths = native.decode_batch_f32(
+        decode = native.decode_batch_i16 if i16 else native.decode_batch_f32
+        audio = np.zeros((b, bucket_len), np.int16 if i16 else np.float32)
+        _, rates, lengths = decode(
             wav_paths, bucket_len, strides=[meta[i][2] for i in chunk],
             out=audio)
         ok_rows = []
@@ -264,28 +285,45 @@ def analyze_files_batched(
                       t1 - t0, time.perf_counter() - t1)
         return chunk, ok_rows, args, staging_errors
 
-    def process_chunk(sr: int, staged) -> None:
+    def dispatch_chunk(sr: int, staged):
+        """Enqueue the device program for one staged chunk (async under JAX
+        dispatch; returns device arrays immediately).  Runs on the main
+        thread so chunk k+1's compute is on the device queue while chunk k's
+        results stream back over the (slow, high-latency on tunneled
+        devices) D2H link in the fetch thread."""
         chunk, ok_rows, args, staging_errors = staged
         errors.extend(staging_errors)
         if args is None:
-            return
-        t0 = time.perf_counter()
+            return None
         run = _analyze_prefiltered_batch if pre_filtered else _analyze_padded_batch
-        env_b, filt_b, nvd_b, res_b = run(*args, sr, cfg)
+        return chunk, ok_rows, run(*args, sr, cfg)
 
+    def finish_chunk(sr: int, dispatched) -> None:
+        if dispatched is None:
+            return
+        chunk, ok_rows, (env_b, filt_b, nvd_b, res_b) = dispatched
+        t0 = time.perf_counter()
         new_rate = sr if pre_filtered else _post_rate(sr, cfg)
         if render:
             env_np = np.asarray(env_b)
             filt_np = None if filt_b is None else np.asarray(filt_b)
             res_np = jax.device_get(res_b)
         else:
-            # No artifacts to draw: don't ship the dense (B, L) envelope /
-            # filtered signal / noise floor over the device link — only the
-            # capacity-shaped event fields.  (results[...].floor is None in
-            # this mode; bench.py and other render=False callers read event
-            # positions and metrics only.)
+            # No artifacts to draw: fetch only what render=False callers
+            # (bench.py, fleet summaries) actually read — final peaks,
+            # metrics, counts, status flags.  The dense (B, L) envelope /
+            # filtered / floor rows and the capacity-shaped intermediates
+            # (classifier trace, per-peak classes, pre-correction sets) stay
+            # on device; on tunneled devices D2H runs at ~20 MB/s and the
+            # full pytree is ~17 MB per 32-file chunk, so this trim is most
+            # of the end-to-end win.  (results[...].floor/trace/classes are
+            # None in this mode.)
             env_np = filt_np = None
-            res_np = jax.device_get(res_b._replace(floor=None))
+            res_np = jax.device_get(res_b._replace(
+                floor=None, trace=None, smoothed_deviation=None,
+                classes=None, precorrection_classes=None,
+                s1_positions=None, trough_positions=None,
+                raw_peak_positions=None))
         nvd_np = np.asarray(nvd_b)
         t1 = time.perf_counter()
         for slot, row in enumerate(ok_rows):
@@ -312,19 +350,31 @@ def analyze_files_batched(
             except Exception as e:
                 logging.exception(f"post-processing failed for {orig}")
                 errors.append((orig, str(e)))
-        logging.debug("process_chunk[%d files]: compute+d2h %.3fs "
+        logging.debug("finish_chunk[%d files]: compute+d2h %.3fs "
                       "render %.3fs", len(chunk), t1 - t0,
                       time.perf_counter() - t1)
 
-    # --- double-buffered pipeline: stage chunk k+1 while chunk k computes ----
+    # --- triple-buffered pipeline ---------------------------------------------
+    # Three overlapped lanes: the staging thread decodes + H2D-transfers
+    # chunk k+1 while chunk k computes on device and chunk k-1's results
+    # stream back D2H in the fetch thread.  Dispatch stays on the main
+    # thread (enqueue-only), so the device queue is never idle waiting on a
+    # result fetch.  The single-worker fetch pool preserves chunk order, so
+    # the error roster and results stay deterministic.
     if chunks:
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(stage_chunk, *chunks[0])
+        with ThreadPoolExecutor(max_workers=1) as stage_pool, \
+                ThreadPoolExecutor(max_workers=1) as fetch_pool:
+            fut = stage_pool.submit(stage_chunk, *chunks[0])
+            fetches = []
             for ci in range(len(chunks)):
                 staged = fut.result()
                 if ci + 1 < len(chunks):
-                    fut = pool.submit(stage_chunk, *chunks[ci + 1])
-                process_chunk(chunks[ci][0], staged)
+                    fut = stage_pool.submit(stage_chunk, *chunks[ci + 1])
+                dispatched = dispatch_chunk(chunks[ci][0], staged)
+                fetches.append(fetch_pool.submit(finish_chunk, chunks[ci][0],
+                                                 dispatched))
+            for f in fetches:
+                f.result()
 
     return results, errors
 
@@ -339,6 +389,8 @@ def _analyze_prefiltered_batch(audio, hints, n_valid, sample_rate: int,
     and the batched path must match that artifact contract."""
 
     def one(x, h, nv):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.dtype(cfg.runtime.dtype))  # exact (PCM16 values)
         env = envm.envelope_from_filtered(x, sample_rate, n_valid=nv)
         res = pipeline.analyze_envelope(env, sample_rate, cfg, h, n_valid=nv)
         return env, None, nv, res

@@ -60,6 +60,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
         lib.bpmwav_decode_batch.restype = ctypes.c_int
+        lib.bpmwav_decode_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.bpmwav_decode_batch_i16.restype = ctypes.c_int
         _lib = lib
     except OSError as e:
         logging.debug(f"native wav library load failed: {e}")
@@ -137,6 +144,59 @@ def decode_batch_f32(paths: List[str], max_samples: int,
                                        int(stride_arr[i]))
             out[i, : len(mono)] = mono
             out[i, len(mono):] = 0.0
+            rates[i] = sr
+            lengths[i] = len(mono)
+        except Exception as e:
+            logging.warning(f"decode failed for {paths[i]}: {e}")
+            lengths[i] = 0
+    return out, rates, lengths
+
+
+def decode_batch_i16(paths: List[str], max_samples: int,
+                     strides: Optional[Sequence[int]] = None,
+                     num_threads: int = 0,
+                     out: Optional[np.ndarray] = None,
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parallel strided decode of mono-PCM16 WAVs into a zero-padded
+    (batch, max_samples) **int16** buffer — the staging fast path: device
+    programs cast int16 rows to float on-chip (exact), so the host->device
+    transfer ships half the bytes of the float32 path.  Per-file failures
+    (including files that turn out not to be mono PCM16) fall back to the
+    float decoder and are round-tripped through int16 — exact whenever the
+    fallback's values are int16-representable (the caller pre-screens
+    formats with ``wav.probe_full``, so a lossy cast here means the file
+    changed between probe and decode); files that still fail get length 0.
+    """
+    batch = len(paths)
+    if out is None:
+        out = np.zeros((batch, max_samples), np.int16)
+    else:
+        assert out.dtype == np.int16 and out.flags.c_contiguous
+        assert out.shape[0] >= batch and out.shape[1] == max_samples
+    rates = np.zeros(batch, np.int32)
+    lengths = np.zeros(batch, np.int64)
+    stride_arr = np.ones(batch, np.int64) if strides is None \
+        else np.asarray(list(strides), np.int64)
+    lib = _load()
+    if lib is not None and batch:
+        errors = np.zeros(batch, np.int32)
+        arr = (ctypes.c_char_p * batch)(*[p.encode() for p in paths])
+        lib.bpmwav_decode_batch_i16(
+            arr, batch, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            max_samples,
+            stride_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            errors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_threads)
+        failed = np.nonzero(errors != 0)[0]
+    else:
+        failed = np.arange(batch)
+    for i in failed:
+        try:
+            sr, mono = decode_mono_f32(paths[i], max_samples,
+                                       int(stride_arr[i]))
+            out[i, : len(mono)] = mono.astype(np.int16)
+            out[i, len(mono):] = 0
             rates[i] = sr
             lengths[i] = len(mono)
         except Exception as e:

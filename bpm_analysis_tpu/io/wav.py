@@ -71,11 +71,21 @@ def read(path: str) -> Tuple[int, np.ndarray]:
 def probe(path: str) -> Tuple[int, int]:
     """Header-only probe: (sample_rate, n_frames) without reading samples —
     the batch runner uses this to bucket files by length before decoding."""
+    sr, n, _fmt, _ch, _bits = probe_full(path)
+    return sr, n
+
+
+def probe_full(path: str) -> Tuple[int, int, int, int, int]:
+    """Header-only probe returning (sample_rate, n_frames, audio_format,
+    channels, bits).  ``audio_format`` is the raw fmt tag (1 = PCM, 3 = IEEE
+    float; WAVE_FORMAT_EXTENSIBLE is resolved to its sub-format when the
+    extension block is present) — the batch runner uses it to pick the int16
+    staging fast path for mono PCM16 sources."""
     with open(path, "rb") as f:
         riff, _size, wave = struct.unpack("<4sI4s", f.read(12))
         if riff != b"RIFF" or wave != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
-        sample_rate = channels = bits = None
+        sample_rate = channels = bits = audio_format = None
         data_size = None
         while True:
             hdr = f.read(8)
@@ -84,8 +94,10 @@ def probe(path: str) -> Tuple[int, int]:
             chunk_id, chunk_size = struct.unpack("<4sI", hdr)
             if chunk_id == b"fmt ":
                 fmt = f.read(chunk_size + (chunk_size & 1))
-                _af, channels, sample_rate, _br, _ba, bits = struct.unpack(
-                    "<HHIIHH", fmt[:16])
+                audio_format, channels, sample_rate, _br, _ba, bits = \
+                    struct.unpack("<HHIIHH", fmt[:16])
+                if audio_format == 0xFFFE and chunk_size >= 26:
+                    audio_format = struct.unpack("<H", fmt[24:26])[0]
             else:
                 if chunk_id == b"data":
                     data_size = chunk_size
@@ -94,7 +106,8 @@ def probe(path: str) -> Tuple[int, int]:
                 break
     if sample_rate is None or data_size is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
-    return sample_rate, data_size // (channels * max(bits // 8, 1))
+    return (sample_rate, data_size // (channels * max(bits // 8, 1)),
+            audio_format, channels, bits)
 
 
 def write(path: str, sample_rate: int, data: np.ndarray) -> None:

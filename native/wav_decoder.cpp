@@ -217,6 +217,98 @@ int decode_one(const char* path, float* out, int64_t max_samples,
   return 0;
 }
 
+// Strided decode of a mono 16-bit PCM WAV straight to int16 — the staging
+// fast path.  Device programs take the int16 rows and cast to float on-chip
+// (exact: every int16 is representable in f32), halving the host->device
+// transfer volume vs the float32 path — on tunneled TPU devices that link
+// runs at tens of MB/s and dominates end-to-end latency.  Returns -4 when
+// the file is not mono PCM16 (caller falls back to the float path).
+int decode_one_i16(const char* path, int16_t* out, int64_t max_samples,
+                   int64_t stride, int32_t* sample_rate, int64_t* n_samples) {
+  if (stride < 1) stride = 1;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  char riff[4], wave[4];
+  uint32_t riff_size;
+  if (!read_exact(f, riff, 4) || !read_exact(f, &riff_size, 4) ||
+      !read_exact(f, wave, 4) || std::memcmp(riff, "RIFF", 4) ||
+      std::memcmp(wave, "WAVE", 4)) {
+    std::fclose(f);
+    return -2;
+  }
+  FmtInfo fmt;
+  long data_pos = -1;
+  uint32_t data_size = 0;
+  while (true) {
+    char id[4];
+    uint32_t size;
+    if (!read_exact(f, id, 4) || !read_exact(f, &size, 4)) break;
+    if (!std::memcmp(id, "fmt ", 4)) {
+      std::vector<uint8_t> buf(size);
+      if (!read_exact(f, buf.data(), size)) break;
+      std::memcpy(&fmt.format, buf.data(), 2);
+      std::memcpy(&fmt.channels, buf.data() + 2, 2);
+      std::memcpy(&fmt.sample_rate, buf.data() + 4, 4);
+      std::memcpy(&fmt.bits, buf.data() + 14, 2);
+      if (fmt.format == 0xFFFE && size >= 26)
+        std::memcpy(&fmt.format, buf.data() + 24, 2);
+      if (size & 1) std::fseek(f, 1, SEEK_CUR);
+    } else if (!std::memcmp(id, "data", 4)) {
+      data_pos = std::ftell(f);
+      data_size = size;
+      std::fseek(f, size + (size & 1), SEEK_CUR);
+    } else {
+      std::fseek(f, size + (size & 1), SEEK_CUR);
+    }
+    if (fmt.channels && data_pos >= 0) break;
+  }
+  if (!fmt.channels || data_pos < 0) {
+    std::fclose(f);
+    return -3;
+  }
+  if (!(fmt.format == 1 && fmt.bits == 16 && fmt.channels == 1)) {
+    std::fclose(f);
+    return -4;
+  }
+  const int64_t frames = static_cast<int64_t>(data_size / 2);
+  int64_t n_out = (frames + stride - 1) / stride;
+  if (n_out > max_samples) n_out = max_samples;
+
+  std::fseek(f, data_pos, SEEK_SET);
+  const int64_t block_frames = int64_t{1} << 19;  // 1 MB of int16
+  std::vector<int16_t> buf(block_frames);
+  const int64_t hop_bytes = stride * 2;
+
+  int64_t out_i = 0;
+  int64_t frame_base = 0;
+  int rc = 0;
+  while (out_i < n_out) {
+    int64_t need = out_i * stride;
+    if (need >= frame_base + block_frames || need > frame_base) {
+      if (hop_bytes > static_cast<int64_t>(buf.size() * 2) || out_i == 0) {
+        std::fseek(f, data_pos + need * 2, SEEK_SET);
+        frame_base = need;
+      }
+    }
+    const int64_t blk = std::min(block_frames, frames - frame_base);
+    if (blk <= 0) break;
+    if (!read_exact(f, buf.data(), blk * 2)) {
+      rc = out_i > 0 ? 0 : -6;
+      break;
+    }
+    while (need < frame_base + blk && out_i < n_out) {
+      out[out_i++] = buf[need - frame_base];
+      need += stride;
+    }
+    frame_base += blk;
+  }
+  std::fclose(f);
+  if (rc) return rc;
+  *sample_rate = static_cast<int32_t>(fmt.sample_rate);
+  *n_samples = out_i;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -258,6 +350,47 @@ int bpmwav_decode_batch(const char** paths, int32_t batch, float* out,
       // the whole buffer costs more than the decode itself).
       std::memset(row + n_samples[i], 0,
                   sizeof(float) * static_cast<size_t>(max_samples - n_samples[i]));
+    }
+  };
+  const int32_t nt = num_threads < batch ? num_threads : batch;
+  for (int32_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
+// int16 batch decode (mono PCM16 fast path): same contract as
+// bpmwav_decode_batch but emits raw int16 samples.  errors[i] = -4 marks a
+// file that is not mono PCM16; the Python layer falls back to the float
+// decoder for those rows (the caller pre-screens with a header probe, so
+// this is rare).
+int bpmwav_decode_batch_i16(const char** paths, int32_t batch, int16_t* out,
+                            int64_t max_samples, const int64_t* strides,
+                            int32_t* sample_rates, int64_t* n_samples,
+                            int32_t* errors, int32_t num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 4;
+  }
+  std::vector<std::thread> pool;
+  std::vector<int32_t> next(1, 0);
+  std::mutex m;
+
+  auto worker = [&]() {
+    while (true) {
+      int32_t i;
+      {
+        std::lock_guard<std::mutex> g(m);
+        if (next[0] >= batch) return;
+        i = next[0]++;
+      }
+      int16_t* row = out + static_cast<int64_t>(i) * max_samples;
+      n_samples[i] = 0;
+      errors[i] = decode_one_i16(paths[i], row, max_samples,
+                                 strides ? strides[i] : 1, &sample_rates[i],
+                                 &n_samples[i]);
+      std::memset(row + n_samples[i], 0,
+                  sizeof(int16_t) *
+                      static_cast<size_t>(max_samples - n_samples[i]));
     }
   };
   const int32_t nt = num_threads < batch ? num_threads : batch;

@@ -130,7 +130,11 @@ def test_batched_error_roster(tmp_path):
 
 def test_length_buckets():
     assert host_batch.length_bucket(100, 1 << 13) == 1 << 13
-    assert host_batch.length_bucket((1 << 15) + 1, 1 << 13) == 1 << 16
+    # Half-octave grid: 1.5 * 2^k sizes cap padding waste at ~33%.
+    assert host_batch.length_bucket((1 << 15) + 1, 1 << 13) == 3 << 14
+    assert host_batch.length_bucket((3 << 14) + 1, 1 << 13) == 1 << 16
+    assert host_batch.length_bucket(181233, 1 << 15) == 196608  # 10-min @302
+    assert host_batch.length_bucket(196608, 1 << 15) == 196608
     assert host_batch.batch_bucket(1, 32) == 1
     assert host_batch.batch_bucket(5, 32) == 8
     assert host_batch.batch_bucket(33, 32) == 32
