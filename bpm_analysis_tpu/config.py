@@ -251,6 +251,22 @@ class RuntimeConfig:
     # sequential-step latency-bound; wider blocks cut step count at the
     # cost of a larger step body (semantics identical at any width).
     classifier_unroll: int = 4
+    # Prominence evaluation backend.  "extrema" (and "auto") computes
+    # prominences in the extrema domain (ops/find_peaks.extrema_prominences):
+    # dense shifted compares over the compacted local-extrema arrays replace
+    # the per-peak dyadic descents over the full-resolution signal — the
+    # descents' scattered table gathers were the single hottest cost of the
+    # pipeline (~1.1 s of 3.2 s per 128x10-min batch on chip).  Bit-identical
+    # to "dense" (same mins over the same sets).
+    prominence_backend: str = "auto"
+    # Extrema-sweep radius: nearest-taller searches within this many extrema
+    # slots are resolved by gather-free shifted compares; peaks taller than
+    # their whole window (~count/window of them) fall to the residual
+    # descent.
+    prominence_sweep_window: int = 64
+    # Slot capacity of that residual descent; overflow sets the pipeline
+    # overflow flag (truncate-with-flag contract, host raises).
+    prominence_residual_capacity: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

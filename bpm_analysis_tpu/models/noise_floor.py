@@ -47,7 +47,7 @@ class NoiseFloorResult(NamedTuple):
 
 def dynamic_noise_floor(
     envelope: jnp.ndarray, sample_rate: int, cfg: AnalyzerConfig, n_valid=None,
-    env_tables=None,
+    env_tables=None, extrema=None,
 ) -> NoiseFloorResult:
     """``n_valid`` (traced) marks the valid prefix of a zero-padded envelope;
     results at positions < n_valid match the unpadded serial run exactly.
@@ -74,7 +74,20 @@ def dynamic_noise_floor(
     trough_prom = q.quantile_exact(envelope, cfg.features.trough_prominence_quantile,
                                    valid=valid)
     neg_tables = {}
-    if env_tables is not None:
+    if extrema is not None:
+        # Extrema were built on env == -(-env_m): roles swap in place, and
+        # the envelope's minima ARE the trough candidates (no height filter
+        # here) — no dense mask or dense-axis scatter in this call.  The NMS
+        # priority on -env is the negated minima heights (fill +inf -> -inf,
+        # exactly the invalid-slot priority the NMS expects).
+        neg_tables = dict(
+            extrema=extrema, extrema_negated=True,
+            candidates=fp.Peaks(extrema.min_positions, extrema.min_count,
+                                extrema.overflowed),
+            priorities=-extrema.min_heights[1:-1],
+            prominence_sweep_window=cfg.runtime.prominence_sweep_window,
+            prominence_residual_capacity=cfg.runtime.prominence_residual_capacity)
+    elif env_tables is not None:
         # Tables are of env == -(-env_m): descents flip in place, no copies.
         neg_tables = dict(max_table=env_tables[0], min_table=env_tables[1],
                           tables_negated=True)

@@ -59,11 +59,13 @@ class PipelineResult(NamedTuple):
 
 
 def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
-              cfg: AnalyzerConfig, n_valid=None, env_tables=None) -> fp.Peaks:
+              cfg: AnalyzerConfig, n_valid=None, env_tables=None,
+              extrema=None) -> fp.Peaks:
     """``PeakClassifier._find_raw_peaks`` (bpm_analysis.py:223-229).
 
     ``env_tables``: optional shared ``(max_table, min_table)`` of the
-    edge-held envelope (see ``analyze_envelope``)."""
+    edge-held envelope; ``extrema``: optional shared extrema decomposition
+    (the faster prominence path — see ``analyze_envelope``)."""
     valid, env_m = envm.edge_held(envelope, n_valid)
     prom = quantile_ops.quantile_exact(envelope, cfg.features.peak_prominence_quantile,
                                        valid=valid)
@@ -71,10 +73,31 @@ def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
     cap = min(cfg.runtime.max_raw_peaks,
               fp.distance_capacity_bound(envelope.shape[0], dist))
     tables = {}
-    if env_tables is not None:
+    height = floor
+    if extrema is not None:
+        # The height filter applies on the shared candidate maxima (same
+        # values: mh[k] == env_m[max_positions[k]]), then the survivors are
+        # slot-compacted — no dense mask or dense-axis scatter in this call.
+        n = envelope.shape[0]
+        mh_real = extrema.max_heights[1:-1]
+        floor_at = floor[jnp.clip(extrema.max_positions, 0, n - 1)]
+        in_count = jnp.arange(mh_real.shape[0]) < extrema.max_count
+        keep = in_count & (mh_real >= floor_at)
+        (cpos, chts), ccount, cover = fp.compact_slots(
+            keep, mh_real.shape[0],
+            [(extrema.max_positions, n),
+             (mh_real, jnp.array(-jnp.inf, mh_real.dtype))])
+        tables = dict(
+            extrema=extrema, extrema_negated=False,
+            candidates=fp.Peaks(cpos, ccount, cover | extrema.overflowed),
+            priorities=chts,
+            prominence_sweep_window=cfg.runtime.prominence_sweep_window,
+            prominence_residual_capacity=cfg.runtime.prominence_residual_capacity)
+        height = None
+    elif env_tables is not None:
         tables = dict(max_table=env_tables[0], min_table=env_tables[1])
     return fp.find_peaks(
-        env_m, cap, height=floor, prominence=prom,
+        env_m, cap, height=height, prominence=prom,
         distance=dist,
         work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks,
         prominence_capacity=int(cfg.runtime.prominence_work_factor * cap),
@@ -127,17 +150,26 @@ def analyze_envelope(envelope: jnp.ndarray, sample_rate: int,
     n = envelope.shape[0]
     start_bpm_hint = jnp.asarray(start_bpm_hint, dtype)
 
-    # Sparse max/min tables of the edge-held envelope, built once and shared
-    # by the trough finder (on -env: tables swap and negate) and the raw-peak
-    # finder — each build costs ~75 ms per 128x181k batch on chip.
+    # Shared peak-finder auxiliaries of the edge-held envelope, built once
+    # for the trough finder (on -env: roles swap and comparisons negate) and
+    # the raw-peak finder.  The extrema decomposition (default) feeds the
+    # extrema-domain prominence path; the dense sparse-table pair remains as
+    # the "dense" backend (each build ~75 ms per 128x181k batch on chip).
     _, env_m = envm.edge_held(envelope, n_valid)
-    env_tables = (fp._sparse_table(env_m, jnp.maximum),
-                  fp._sparse_table(env_m, jnp.minimum))
+    if cfg.runtime.prominence_backend == "dense":
+        env_tables = (fp._sparse_table(env_m, jnp.maximum),
+                      fp._sparse_table(env_m, jnp.minimum))
+        extrema = None
+    else:
+        env_tables = None
+        extrema = fp.build_extrema(
+            env_m, cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks)
 
     nf = noise_floor.dynamic_noise_floor(envelope, sample_rate, cfg,
-                                         n_valid=n_valid, env_tables=env_tables)
+                                         n_valid=n_valid, env_tables=env_tables,
+                                         extrema=extrema)
     peaks = raw_peaks(envelope, nf.floor, sample_rate, cfg, n_valid=n_valid,
-                      env_tables=env_tables)
+                      env_tables=env_tables, extrema=extrema)
 
     start_bpm, peak_time, recovery_end = preliminary_pass(
         envelope, nf.floor, peaks, sample_rate, start_bpm_hint, cfg

@@ -73,14 +73,24 @@ def local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
 def _compact_mask(mask: jnp.ndarray, capacity: int) -> Peaks:
     """Stable compaction of mask indices via rank-scatter (a cumsum + one
     scatter) — sorting an n-length key array is ~500 ms at n≈200k on TPU."""
+    peaks, _ = _compact_mask_rank(mask, capacity)
+    return peaks
+
+
+def _compact_mask_rank(mask: jnp.ndarray, capacity: int):
+    """``_compact_mask`` that also returns the dense 1-based rank array
+    (``cumsum(mask)``): at a masked position p, ``rank[p]`` is p's 1-based
+    index among all masked positions — the bridge from dense positions to
+    compacted slots that ``extrema_prominences`` gathers through."""
     n = mask.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    rank1 = jnp.cumsum(mask.astype(jnp.int32))
+    rank = rank1 - 1
     write = jnp.where(mask & (rank < capacity), rank, capacity)
     out = jnp.full((capacity + 1,), n, jnp.int32).at[write].set(idx, mode="drop")
-    total = jnp.sum(mask.astype(jnp.int32))
+    total = rank1[-1]
     count = jnp.minimum(total, capacity)
-    return Peaks(out[:capacity], count, total > capacity)
+    return Peaks(out[:capacity], count, total > capacity), rank1
 
 
 def _sparse_table(x: jnp.ndarray, op, levels: Optional[int] = None) -> jnp.ndarray:
@@ -188,6 +198,259 @@ def peak_prominences(
                                  jnp.minimum)
     prom = v - jnp.maximum(left_min, right_min)
     return jnp.where(valid, prom, 0.0)
+
+
+class Extrema(NamedTuple):
+    """Shared extrema decomposition of a signal for ``extrema_prominences``.
+
+    The signal between consecutive local extrema is monotone (or flat), so a
+    peak's prominence bases reduce to extrema-domain queries: the nearest
+    strictly-taller *sample* on each side lies on the flank of the nearest
+    strictly-taller *maximum*, and the range-min between them is the min of
+    the valley minima strictly between that maximum and the peak.  Both
+    arrays carry virtual entries for the signal edges: slot 0 holds ``x[0]``
+    (the leading run's extreme value) and slot ``count+1`` holds ``x[n-1]``,
+    reproducing scipy's edge fallback exactly.
+
+    ``max_heights`` pads with -inf and ``min_heights`` with +inf: in BOTH
+    orientations (peaks on x, or troughs on -x with roles swapped) padding
+    then never stops a taller-search and never perturbs a valley reduction.
+    """
+    max_heights: jnp.ndarray   # (cap,) maxima heights; [0]=x0, [cm+1]=x[-1]
+    min_heights: jnp.ndarray   # (cap,) minima heights; [0]=x0, [cv+1]=x[-1]
+    max_positions: jnp.ndarray  # (cap-2,) int32 real maxima positions, fill n
+    min_positions: jnp.ndarray  # (cap-2,) int32 real minima positions, fill n
+    first_is_max: jnp.ndarray  # () bool: first real extremum is a maximum
+    max_count: jnp.ndarray     # () int32 real maxima count
+    min_count: jnp.ndarray     # () int32 real minima count
+    union_rank: jnp.ndarray    # (n,) int32 1-based rank among ALL extrema
+    max_rank_u: jnp.ndarray    # (2cap-4,) 1-based maxima rank at union slots
+    min_rank_u: jnp.ndarray    # (2cap-4,) 1-based minima rank at union slots
+    max_table: jnp.ndarray     # (L, cap) sparse MAX table of max_heights
+    min_table: jnp.ndarray     # (L, cap) sparse MIN table of min_heights
+    overflowed: jnp.ndarray    # () bool: an extrema population was truncated
+
+
+def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
+    """Extrema arrays of ``x`` (edge-held already, if padded).  ``capacity``
+    includes the two virtual edge slots, i.e. at most ``capacity - 2`` real
+    maxima (resp. minima) are representable before the overflow flag fires.
+
+    One dense rank-scatter compacts the maxima|minima union (the scatter is
+    the dominant cost at ~5 ns per dense element on TPU — paying it once
+    instead of per-kind), with each entry's kind bit packed into the
+    scattered value (``2*idx + is_max``); the per-kind arrays then split off
+    with cheap slot-domain compactions."""
+    n = x.shape[0]
+    real_cap = capacity - 2
+    union_cap = 2 * real_cap
+    mmax = local_maxima_mask(x)
+    mmin = local_maxima_mask(-x)
+    both = mmax | mmin
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank_u1 = jnp.cumsum(both.astype(jnp.int32))
+    r = rank_u1 - 1
+    write = jnp.where(both & (r < union_cap), r, union_cap + 1)
+    enc = jnp.full((union_cap + 1,), 2 * n, jnp.int32).at[write].set(
+        2 * idx + mmax.astype(jnp.int32), mode="drop")[:union_cap]
+    u_total = rank_u1[-1]
+    u_count = jnp.minimum(u_total, union_cap)
+    uslot = jnp.arange(union_cap, dtype=jnp.int32)
+    u_valid = uslot < u_count
+    upos = jnp.where(u_valid, enc >> 1, n)
+    uh = x[jnp.clip(upos, 0, n - 1)]
+    is_max_u = u_valid & ((enc & 1) == 1)
+    is_min_u = u_valid & ~((enc & 1) == 1)
+    max_rank_u = jnp.cumsum(is_max_u.astype(jnp.int32))
+    min_rank_u = jnp.cumsum(is_min_u.astype(jnp.int32))
+
+    dtype = x.dtype
+    neg_inf = jnp.array(-jnp.inf, dtype)
+    pos_inf = jnp.array(jnp.inf, dtype)
+
+    def split(rank1, sel, fill_h):
+        rr = rank1 - 1
+        w = jnp.where(sel & (rr < real_cap), rr, real_cap + 1)
+        pos = jnp.full((real_cap + 1,), n, jnp.int32).at[w].set(
+            upos, mode="drop")[:real_cap]
+        hts = jnp.full((real_cap + 1,), fill_h, dtype).at[w].set(
+            uh, mode="drop")[:real_cap]
+        cnt = jnp.minimum(rank1[-1], real_cap)
+        return pos, hts, cnt, rank1[-1] > real_cap
+
+    max_pos, max_h, cm, m_over = split(max_rank_u, is_max_u, neg_inf)
+    min_pos, min_h, cv, v_over = split(min_rank_u, is_min_u, pos_inf)
+
+    def with_virtuals(hts, cnt, fill):
+        out = jnp.full((capacity,), fill, dtype)
+        out = lax.dynamic_update_slice(out, hts, (1,))
+        out = out.at[0].set(x[0])
+        return out.at[cnt + 1].set(x[n - 1])
+
+    mh = with_virtuals(max_h, cm, neg_inf)
+    vh = with_virtuals(min_h, cv, pos_inf)
+    first_is_max = (u_count > 0) & ((enc[0] & 1) == 1)
+    return Extrema(
+        max_heights=mh, min_heights=vh,
+        max_positions=max_pos, min_positions=min_pos,
+        first_is_max=first_is_max, max_count=cm, min_count=cv,
+        union_rank=rank_u1, max_rank_u=max_rank_u, min_rank_u=min_rank_u,
+        max_table=_sparse_table(mh, jnp.maximum),
+        min_table=_sparse_table(vh, jnp.minimum),
+        overflowed=(u_total > union_cap) | m_over | v_over,
+    )
+
+
+def compact_slots(keep: jnp.ndarray, capacity: int, arrays_with_fills):
+    """Slot-domain stable compaction (cumsum + rank-scatter over the SLOT
+    axis — a few thousand elements, vs the ~5 ns/element dense-axis scatter)
+    of several aligned arrays by one mask.  Returns (list, count, overflow)."""
+    rank1 = jnp.cumsum(keep.astype(jnp.int32))
+    rr = rank1 - 1
+    w = jnp.where(keep & (rr < capacity), rr, capacity + 1)
+    outs = [jnp.full((capacity + 1,), fill, arr.dtype).at[w].set(
+        arr, mode="drop")[:capacity] for arr, fill in arrays_with_fills]
+    total = rank1[-1]
+    return outs, jnp.minimum(total, capacity), total > capacity
+
+
+def _shift_right(a: jnp.ndarray, m: int, fill) -> jnp.ndarray:
+    """a[i - m] with out-of-range slots = fill."""
+    return jnp.concatenate([jnp.full((m,), fill, a.dtype), a[:-m]])
+
+
+def _shift_left(a: jnp.ndarray, m: int, fill) -> jnp.ndarray:
+    """a[i + m] with out-of-range slots = fill."""
+    return jnp.concatenate([a[m:], jnp.full((m,), fill, a.dtype)])
+
+
+def extrema_prominences(
+    ext: Extrema,
+    positions: jnp.ndarray,
+    valid: jnp.ndarray,
+    negated: bool = False,
+    sweep_window: int = 64,
+    residual_capacity: int = 2048,
+):
+    """Prominences of peaks that are local maxima of the signal ``ext`` was
+    built on (``negated=False``) or of its negation (troughs;
+    ``negated=True``) — bit-identical to ``peak_prominences`` on the dense
+    signal, at extrema-domain cost.
+
+    Strategy: compute every maxima slot's nearest-strictly-taller maximum
+    within ``sweep_window`` slots by dense shifted compares (no gathers) and
+    the valley min up to it by a running reduction over the same shifts; the
+    rare residual (slots taller than their whole ``sweep_window``
+    neighborhood — locally record-setting peaks, ~count/window of them) is
+    compacted to ``residual_capacity`` slots and resolved by the dyadic
+    sparse-table descent.  Residuals beyond capacity set the returned
+    overflow flag (the standard truncate-with-flag contract; the host
+    surfaces it).
+
+    Returns ``(prominences_at_positions, overflowed)``.
+    """
+    W = sweep_window
+    cap = ext.max_heights.shape[0]
+    dtype = ext.max_heights.dtype
+    if negated:
+        # Troughs of x == peaks of -x: the minima array plays the peaks and
+        # the maxima array plays the valleys; every comparison flips and the
+        # valley reduction becomes a running max.  prominence on -x is
+        # min(left_max, right_max) - vh[s] (exact sign-flip algebra).
+        peak_h, valley_h = ext.min_heights, ext.max_heights
+        fim = ~ext.first_is_max
+        peak_count = ext.min_count
+        rank_u = ext.min_rank_u
+        fillP, fillV = jnp.array(jnp.inf, dtype), jnp.array(-jnp.inf, dtype)
+        taller = lambda a, b: a < b
+        vred = jnp.maximum
+        desc_table, desc_flip = ext.min_table, True
+        valley_table, valley_op = ext.max_table, jnp.maximum
+    else:
+        peak_h, valley_h = ext.max_heights, ext.min_heights
+        fim = ext.first_is_max
+        peak_count = ext.max_count
+        rank_u = ext.max_rank_u
+        fillP, fillV = jnp.array(-jnp.inf, dtype), jnp.array(jnp.inf, dtype)
+        taller = lambda a, b: a > b
+        vred = jnp.minimum
+        desc_table, desc_flip = ext.max_table, False
+        valley_table, valley_op = ext.min_table, jnp.minimum
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    # Valley immediately left / right of peak-role slot s.  With alternation
+    # (exactly one minimum between consecutive maxima, plateau-midpoint
+    # semantics) the offset depends only on which extremum comes first.
+    VL = jnp.where(fim, _shift_right(valley_h, 1, fillV), valley_h)
+    VR = jnp.where(fim, valley_h, _shift_left(valley_h, 1, fillV))
+
+    def sweep(shift, vsel):
+        found = jnp.zeros((cap,), bool)
+        res = jnp.full((cap,), fillV, dtype)
+        acc = vsel
+        for m in range(1, W + 1):
+            t = taller(shift(peak_h, m, fillP), peak_h)
+            res = jnp.where(t & ~found, acc, res)
+            found = found | t
+            acc = vred(acc, shift(vsel, m, fillV))
+        return res, found, acc
+
+    l_res, l_found, l_acc = sweep(_shift_right, VL)
+    r_res, r_found, r_acc = sweep(_shift_left, VR)
+    # Searches that exhausted to a signal edge within the window are resolved
+    # with the full running reduction (virtual edge entries included; slots
+    # past the edge contribute the no-effect fill).
+    left_min = jnp.where(l_found, l_res, l_acc)
+    right_min = jnp.where(r_found, r_res, r_acc)
+    l_resolved = l_found | (slot <= W)
+    r_resolved = r_found | (slot + W >= peak_count + 1)
+
+    # Residual: real peak slots whose search must continue past the window.
+    # Position -> peak slot goes through the union rank (dense) then the
+    # per-kind rank at the union slot (two chained small gathers).
+    n = ext.union_rank.shape[0]
+    u = jnp.clip(ext.union_rank[jnp.clip(positions, 0, n - 1)] - 1,
+                 0, rank_u.shape[0] - 1)
+    ranks_at = rank_u[u]
+    ranks_at = jnp.where(valid, ranks_at, cap)
+    is_peak = jnp.zeros((cap + 1,), bool).at[ranks_at].set(True,
+                                                           mode="drop")[:cap]
+    fim_off = fim.astype(jnp.int32)
+
+    def residual(resolved, desc, vlo, vhi):
+        need = is_peak & ~resolved
+        sel, _ = _compact_mask_rank(need, residual_capacity)
+        s = jnp.clip(sel.positions, 0, cap - 1)
+        v = peak_h[s]
+        j = desc(v, s)
+        val = _range_query(valley_table, vlo(s, j), vhi(s, j), valley_op)
+        ok = jnp.arange(residual_capacity) < sel.count
+        return jnp.where(ok, val, fillV), jnp.where(ok, sel.positions,
+                                                    cap), sel.overflowed
+
+    lv, ls, lo = residual(
+        l_resolved,
+        lambda v, s: _last_above(desc_table, v, s - W - 1, flip=desc_flip),
+        lambda s, j: jnp.maximum(j + 1 - fim_off, 0),
+        lambda s, j: s - fim_off)
+    rv, rs, ro = residual(
+        r_resolved,
+        lambda v, s: _first_above(desc_table, v, s + W + 1, flip=desc_flip),
+        lambda s, j: s + 1 - fim_off,
+        lambda s, j: jnp.minimum(j - fim_off, cap - 1))
+    left_min = left_min.at[ls].set(lv, mode="drop")
+    right_min = right_min.at[rs].set(rv, mode="drop")
+
+    # The deeper base wins: scipy takes max(left_min, right_min) — on the
+    # negated orientation that flips to min(left_max, right_max).
+    if negated:
+        prom_slots = jnp.minimum(left_min, right_min) - peak_h
+    else:
+        prom_slots = peak_h - jnp.maximum(left_min, right_min)
+    prom = prom_slots[jnp.clip(ranks_at, 0, cap - 1)]
+    prom = jnp.where(valid, prom, jnp.zeros((), dtype))
+    return prom, lo | ro | ext.overflowed
 
 
 def _select_by_distance(
@@ -327,6 +590,12 @@ def find_peaks(
     max_table: Optional[jnp.ndarray] = None,
     min_table: Optional[jnp.ndarray] = None,
     tables_negated: bool = False,
+    extrema: Optional[Extrema] = None,
+    extrema_negated: bool = False,
+    prominence_sweep_window: int = 64,
+    prominence_residual_capacity: int = 2048,
+    candidates: Optional[Peaks] = None,
+    priorities: Optional[jnp.ndarray] = None,
 ) -> Peaks:
     """scipy.signal.find_peaks(x, height=height, prominence=prominence,
     distance=distance) with fixed output capacity.
@@ -356,19 +625,29 @@ def find_peaks(
     costs ~75 ms per 128x181k batch on chip.
     """
     n = x.shape[0]
-    work_capacity = work_capacity or 4 * capacity
-    mask = local_maxima_mask(x)
-    if height is not None:
-        h = jnp.broadcast_to(jnp.asarray(height, x.dtype), (n,))
-        mask = mask & (x >= h)
-    peaks = _compact_mask(mask, work_capacity)
+    if candidates is not None:
+        # Pre-compacted candidate maxima (from a shared Extrema; height
+        # pre-applied by the caller) — skips the dense local-maxima mask and
+        # the ~5 ns/element dense-axis compaction scatter entirely.
+        work_capacity = candidates.positions.shape[0]
+        peaks = candidates
+        prio_arr = priorities
+    else:
+        work_capacity = work_capacity or 4 * capacity
+        mask = local_maxima_mask(x)
+        if height is not None:
+            h = jnp.broadcast_to(jnp.asarray(height, x.dtype), (n,))
+            mask = mask & (x >= h)
+        peaks = _compact_mask(mask, work_capacity)
+        prio_arr = None
     slot = jnp.arange(work_capacity)
     valid = slot < peaks.count
     pos = jnp.where(valid, peaks.positions, n - 1)
     truncated = peaks.overflowed
 
     if distance is not None:
-        keep = _select_by_distance(pos, x[pos], valid, distance)
+        keep = _select_by_distance(
+            pos, x[pos] if prio_arr is None else prio_arr, valid, distance)
         pos, count = _recompact(pos, keep, n)
         if isinstance(distance, (int, float)):
             # Static survivor bound: spacing >= ceil(distance) caps survivors
@@ -389,9 +668,16 @@ def find_peaks(
         count = peaks.count
 
     if prominence is not None:
-        prom = peak_prominences(x, pos, valid, max_table=max_table,
-                                min_table=min_table,
-                                tables_negated=tables_negated)
+        if extrema is not None:
+            prom, prom_ovf = extrema_prominences(
+                extrema, pos, valid, negated=extrema_negated,
+                sweep_window=prominence_sweep_window,
+                residual_capacity=prominence_residual_capacity)
+            truncated = truncated | prom_ovf
+        else:
+            prom = peak_prominences(x, pos, valid, max_table=max_table,
+                                    min_table=min_table,
+                                    tables_negated=tables_negated)
         keep = valid & (prom >= jnp.asarray(prominence, x.dtype))
         pos, count = _recompact(pos, keep, n)
         valid = slot < count

@@ -77,3 +77,74 @@ def test_troughs_on_vulpine(oracle):
     dist = int(0.05 * sr)
     got = _positions(fp.find_peaks(jnp.asarray(-env), 4096, prominence=prom, distance=dist))
     np.testing.assert_array_equal(got, oracle["all_troughs"])
+
+
+# --- extrema-domain prominence backend ------------------------------------
+
+def _signals_for_extrema(seed):
+    rng = np.random.RandomState(seed)
+    n = 1500
+    yield rng.randn(n)                                     # generic
+    yield np.round(rng.randn(n) * 3) / 3                   # plateaus + ties
+    yield np.sin(np.linspace(0, 40, n)) + 0.3 * rng.randn(n)
+    spiky = np.abs(rng.randn(n)); spiky[::7] *= 3
+    yield spiky
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_extrema_prominence_matches_dense(seed):
+    """extrema_prominences is bit-identical to the dense descent path (same
+    mins over the same sets) in both orientations, including plateau and
+    equal-height signals."""
+    for x in _signals_for_extrema(seed):
+        x = x.astype(np.float64)
+        prom_t = max(float(np.quantile(x, 0.3)), 1e-9)
+        ext = fp.build_extrema(jnp.asarray(x), 1024)
+        for sgn, neg in ((1.0, False), (-1.0, True)):
+            xs = jnp.asarray(sgn * x)
+            dense = fp.find_peaks(xs, 512, prominence=prom_t, distance=7)
+            got = fp.find_peaks(xs, 512, prominence=prom_t, distance=7,
+                                extrema=ext, extrema_negated=neg,
+                                prominence_sweep_window=8,
+                                prominence_residual_capacity=128)
+            np.testing.assert_array_equal(_positions(got), _positions(dense))
+            assert not bool(got.overflowed)
+
+
+def test_extrema_prominence_values_match_scipy():
+    rng = np.random.RandomState(5)
+    x = np.round(np.cumsum(rng.randn(1200)) * 2) / 2      # drifting + plateaus
+    peaks, _ = scipy_find_peaks(x, distance=5)
+    expected = scipy_proms(x, peaks)[0]
+    cap = 512
+    pos = np.full(cap, len(x) - 1)
+    pos[: len(peaks)] = peaks
+    valid = np.arange(cap) < len(peaks)
+    ext = fp.build_extrema(jnp.asarray(x), 1024)
+    got, ovf = fp.extrema_prominences(ext, jnp.asarray(pos), jnp.asarray(valid),
+                                      sweep_window=8, residual_capacity=256)
+    assert not bool(ovf)
+    np.testing.assert_array_equal(np.asarray(got)[: len(peaks)], expected)
+
+
+def test_extrema_residual_overflow_flag():
+    """Monotone-ascending peak heights leave every peak unresolved by the
+    sweep; residual slots beyond capacity must raise the overflow flag (the
+    truncate-with-flag contract) instead of failing silently."""
+    n = 600
+    x = np.zeros(n)
+    x[1::4] = np.arange(1, len(x[1::4]) + 1)               # ascending spikes
+    ext = fp.build_extrema(jnp.asarray(x), 1024)
+    peaks, _ = scipy_find_peaks(x)
+    cap = 256
+    pos = np.full(cap, n - 1)
+    pos[: len(peaks)] = peaks
+    valid = np.arange(cap) < len(peaks)
+    _, ovf_small = fp.extrema_prominences(ext, jnp.asarray(pos), jnp.asarray(valid),
+                                          sweep_window=4, residual_capacity=16)
+    assert bool(ovf_small)
+    got, ovf_ok = fp.extrema_prominences(ext, jnp.asarray(pos), jnp.asarray(valid),
+                                         sweep_window=4, residual_capacity=256)
+    assert not bool(ovf_ok)
+    np.testing.assert_array_equal(np.asarray(got)[: len(peaks)],
+                                  scipy_proms(x, peaks)[0])

@@ -69,11 +69,21 @@ def main():
     pre = jax.jit(jax.vmap(lambda x: envm.preprocess(x, SR, cfg)[0]))
     env = timed("preprocess", pre, xs)
 
-    nf_fn = jax.jit(jax.vmap(lambda e: noise_floor.dynamic_noise_floor(e, SR, cfg)))
-    nf = timed("noise_floor", nf_fn, env)
+    from bpm_analysis_tpu.ops import find_peaks as fpo
+    from bpm_analysis_tpu.models import envelope as envmod
 
-    rp_fn = jax.jit(jax.vmap(lambda e, f: pipeline.raw_peaks(e, f, SR, cfg)))
-    peaks = timed("raw_peaks", rp_fn, env, nf.floor)
+    ext_cap = cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks
+    ext_fn = jax.jit(jax.vmap(
+        lambda e: fpo.build_extrema(envmod.edge_held(e, None)[1], ext_cap)))
+    ext = timed("build_extrema", ext_fn, env)
+
+    nf_fn = jax.jit(jax.vmap(
+        lambda e, x: noise_floor.dynamic_noise_floor(e, SR, cfg, extrema=x)))
+    nf = timed("noise_floor", nf_fn, env, ext)
+
+    rp_fn = jax.jit(jax.vmap(
+        lambda e, f, x: pipeline.raw_peaks(e, f, SR, cfg, extrema=x)))
+    peaks = timed("raw_peaks", rp_fn, env, nf.floor, ext)
 
     hints = jnp.full((BATCH,), jnp.nan, env.dtype)
     prelim_fn = jax.jit(jax.vmap(
