@@ -288,14 +288,20 @@ def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
 # --- TPU measurements ------------------------------------------------------
 
 def _bench_cfg(stride: int, backend: str, candidates: int = 2048,
-               work_factor: int = 4, prom_factor: float = 1.5):
+               work_factor: int = 4, prom_factor: float = 1.5,
+               extrema_capacity: int = 24576):
     from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
 
+    # extrema_capacity 24576: the synthetic 10-min 302 Hz recordings carry
+    # ~20.7k local maxima (mostly int16-quantization micro-wiggles) — every
+    # one must fit the shared extrema decomposition for exact prominences
+    # (the no-overflow assertions below check this).
     return AnalyzerConfig(runtime=RuntimeConfig(
         max_raw_peaks=4096, max_troughs=4096, max_candidates=candidates,
         dtype="float32", noise_quantile_stride=stride, quantile_backend=backend,
         find_peaks_work_factor=work_factor,
-        prominence_work_factor=prom_factor))
+        prominence_work_factor=prom_factor,
+        extrema_capacity=extrema_capacity))
 
 
 def _enable_cache():
@@ -345,6 +351,8 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
     res = fn(jnp.asarray(batch))
     counts = np.asarray(res.final_count)
     assert (counts > 100).all(), f"bench sanity: too few beats {counts[:4]}"
+    assert not np.asarray(res.overflowed).any(), \
+        "bench sanity: a capacity truncated events — results not exact"
 
     best = float("inf")
     for i in range(3):
@@ -386,7 +394,7 @@ def measure_native_e2e(native_paths: list, backend: str, stride: int,
     # 302 Hz synth quality); 3072 holds them with 25% headroom while keeping
     # the sequential classifier scan 25% shorter than the 4096 worst case.
     cfg = _bench_cfg(stride, backend, candidates=3072, work_factor=8,
-                     prom_factor=2.0)
+                     prom_factor=2.0, extrema_capacity=32768)
     outdir = os.path.dirname(native_paths[0])
 
     # Warmup: compiles the (batch, bucket) program on a fleet subset.

@@ -265,8 +265,18 @@ class RuntimeConfig:
     # descent.
     prominence_sweep_window: int = 64
     # Slot capacity of that residual descent; overflow sets the pipeline
-    # overflow flag (truncate-with-flag contract, host raises).
-    prominence_residual_capacity: int = 2048
+    # overflow flag (truncate-with-flag contract, host raises).  Residual
+    # cost is gather-bound (~11 ns per slot-level element), so keep this
+    # near the realistic population (~count/window per direction, ~430 at
+    # W=64 on the noisiest benched signals).
+    prominence_residual_capacity: int = 1024
+    # Slot capacity of the shared extrema decomposition (ALL local maxima /
+    # minima, pre-height-filter, incl. 2 virtual edge slots).  0 derives
+    # find_peaks_work_factor * max_raw_peaks.  Must hold the full extrema
+    # population: truncation sets the overflow flag (host raises) — noisy
+    # recordings carry far more micro-extrema than beats (e.g. ~20.7k
+    # maxima per 10-min 302 Hz synthetic vs ~11k on the golden sample).
+    extrema_capacity: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

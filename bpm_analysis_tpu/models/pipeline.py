@@ -163,7 +163,8 @@ def analyze_envelope(envelope: jnp.ndarray, sample_rate: int,
     else:
         env_tables = None
         extrema = fp.build_extrema(
-            env_m, cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks)
+            env_m, cfg.runtime.extrema_capacity
+            or cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks)
 
     nf = noise_floor.dynamic_noise_floor(envelope, sample_rate, cfg,
                                          n_valid=n_valid, env_tables=env_tables,

@@ -224,8 +224,6 @@ class Extrema(NamedTuple):
     max_count: jnp.ndarray     # () int32 real maxima count
     min_count: jnp.ndarray     # () int32 real minima count
     union_rank: jnp.ndarray    # (n,) int32 1-based rank among ALL extrema
-    max_rank_u: jnp.ndarray    # (2cap-4,) 1-based maxima rank at union slots
-    min_rank_u: jnp.ndarray    # (2cap-4,) 1-based minima rank at union slots
     max_table: jnp.ndarray     # (L, cap) sparse MAX table of max_heights
     min_table: jnp.ndarray     # (L, cap) sparse MIN table of min_heights
     overflowed: jnp.ndarray    # () bool: an extrema population was truncated
@@ -239,8 +237,11 @@ def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
     One dense rank-scatter compacts the maxima|minima union (the scatter is
     the dominant cost at ~5 ns per dense element on TPU — paying it once
     instead of per-kind), with each entry's kind bit packed into the
-    scattered value (``2*idx + is_max``); the per-kind arrays then split off
-    with cheap slot-domain compactions."""
+    scattered value (``2*idx + is_max``).  Extrema strictly ALTERNATE
+    (exactly one minimum between consecutive maxima under plateau-midpoint
+    semantics), so the per-kind arrays split off by union-slot parity —
+    free strided slices, and per-kind ranks are closed-form in the union
+    rank (no further cumsums or scatters)."""
     n = x.shape[0]
     real_cap = capacity - 2
     union_cap = 2 * real_cap
@@ -256,31 +257,27 @@ def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
         2 * idx + mmax.astype(jnp.int32), mode="drop")[:union_cap]
     u_total = rank_u1[-1]
     u_count = jnp.minimum(u_total, union_cap)
-    uslot = jnp.arange(union_cap, dtype=jnp.int32)
-    u_valid = uslot < u_count
-    upos = jnp.where(u_valid, enc >> 1, n)
-    uh = x[jnp.clip(upos, 0, n - 1)]
-    is_max_u = u_valid & ((enc & 1) == 1)
-    is_min_u = u_valid & ~((enc & 1) == 1)
-    max_rank_u = jnp.cumsum(is_max_u.astype(jnp.int32))
-    min_rank_u = jnp.cumsum(is_min_u.astype(jnp.int32))
+    first_is_max = (u_count > 0) & ((enc[0] & 1) == 1)
 
     dtype = x.dtype
     neg_inf = jnp.array(-jnp.inf, dtype)
     pos_inf = jnp.array(jnp.inf, dtype)
+    even, odd = enc[0::2], enc[1::2]           # (real_cap,) each
+    # Alternation: starting-kind extrema sit at even union slots.
+    enc_max = jnp.where(first_is_max, even, odd)
+    enc_min = jnp.where(first_is_max, odd, even)
+    cm = (u_count + first_is_max.astype(jnp.int32)) // 2
+    cv = u_count - cm
+    slot_r = jnp.arange(real_cap, dtype=jnp.int32)
 
-    def split(rank1, sel, fill_h):
-        rr = rank1 - 1
-        w = jnp.where(sel & (rr < real_cap), rr, real_cap + 1)
-        pos = jnp.full((real_cap + 1,), n, jnp.int32).at[w].set(
-            upos, mode="drop")[:real_cap]
-        hts = jnp.full((real_cap + 1,), fill_h, dtype).at[w].set(
-            uh, mode="drop")[:real_cap]
-        cnt = jnp.minimum(rank1[-1], real_cap)
-        return pos, hts, cnt, rank1[-1] > real_cap
+    def unpack(enc_k, cnt, fill_h):
+        ok = slot_r < cnt
+        pos = jnp.where(ok, enc_k >> 1, n)
+        hts = jnp.where(ok, x[jnp.clip(pos, 0, n - 1)], fill_h)
+        return pos, hts
 
-    max_pos, max_h, cm, m_over = split(max_rank_u, is_max_u, neg_inf)
-    min_pos, min_h, cv, v_over = split(min_rank_u, is_min_u, pos_inf)
+    max_pos, max_h = unpack(enc_max, cm, neg_inf)
+    min_pos, min_h = unpack(enc_min, cv, pos_inf)
 
     def with_virtuals(hts, cnt, fill):
         out = jnp.full((capacity,), fill, dtype)
@@ -290,15 +287,14 @@ def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
 
     mh = with_virtuals(max_h, cm, neg_inf)
     vh = with_virtuals(min_h, cv, pos_inf)
-    first_is_max = (u_count > 0) & ((enc[0] & 1) == 1)
     return Extrema(
         max_heights=mh, min_heights=vh,
         max_positions=max_pos, min_positions=min_pos,
         first_is_max=first_is_max, max_count=cm, min_count=cv,
-        union_rank=rank_u1, max_rank_u=max_rank_u, min_rank_u=min_rank_u,
+        union_rank=rank_u1,
         max_table=_sparse_table(mh, jnp.maximum),
         min_table=_sparse_table(vh, jnp.minimum),
-        overflowed=(u_total > union_cap) | m_over | v_over,
+        overflowed=u_total > union_cap,
     )
 
 
@@ -361,7 +357,6 @@ def extrema_prominences(
         peak_h, valley_h = ext.min_heights, ext.max_heights
         fim = ~ext.first_is_max
         peak_count = ext.min_count
-        rank_u = ext.min_rank_u
         fillP, fillV = jnp.array(jnp.inf, dtype), jnp.array(-jnp.inf, dtype)
         taller = lambda a, b: a < b
         vred = jnp.maximum
@@ -371,7 +366,6 @@ def extrema_prominences(
         peak_h, valley_h = ext.max_heights, ext.min_heights
         fim = ext.first_is_max
         peak_count = ext.max_count
-        rank_u = ext.max_rank_u
         fillP, fillV = jnp.array(-jnp.inf, dtype), jnp.array(jnp.inf, dtype)
         taller = lambda a, b: a > b
         vred = jnp.minimum
@@ -407,12 +401,12 @@ def extrema_prominences(
     r_resolved = r_found | (slot + W >= peak_count + 1)
 
     # Residual: real peak slots whose search must continue past the window.
-    # Position -> peak slot goes through the union rank (dense) then the
-    # per-kind rank at the union slot (two chained small gathers).
+    # Position -> peak slot: one union-rank gather, then closed-form parity
+    # arithmetic (alternation puts this kind at union parity ``1 - fim``).
     n = ext.union_rank.shape[0]
-    u = jnp.clip(ext.union_rank[jnp.clip(positions, 0, n - 1)] - 1,
-                 0, rank_u.shape[0] - 1)
-    ranks_at = rank_u[u]
+    u = ext.union_rank[jnp.clip(positions, 0, n - 1)] - 1
+    off = 1 - fim.astype(jnp.int32)
+    ranks_at = jnp.maximum(u - off, 0) // 2 + 1
     ranks_at = jnp.where(valid, ranks_at, cap)
     is_peak = jnp.zeros((cap + 1,), bool).at[ranks_at].set(True,
                                                            mode="drop")[:cap]

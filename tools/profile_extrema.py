@@ -26,7 +26,8 @@ from bpm_analysis_tpu.ops import find_peaks as fp  # noqa: E402
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 cfg = AnalyzerConfig(runtime=RuntimeConfig(
     max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
-    noise_quantile_stride=64, quantile_backend="pallas"))
+    noise_quantile_stride=64, quantile_backend="pallas",
+    extrema_capacity=24576))
 
 
 def _force(out):

@@ -29,7 +29,8 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
 cfg = AnalyzerConfig(runtime=RuntimeConfig(
     max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
-    noise_quantile_stride=64, quantile_backend="pallas"))
+    noise_quantile_stride=64, quantile_backend="pallas",
+    extrema_capacity=24576))
 
 
 def _force(out):

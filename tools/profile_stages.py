@@ -28,7 +28,8 @@ BACKEND = sys.argv[2] if len(sys.argv) > 2 else "xla"
 
 cfg = AnalyzerConfig(runtime=RuntimeConfig(
     max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
-    noise_quantile_stride=64, quantile_backend=BACKEND))
+    noise_quantile_stride=64, quantile_backend=BACKEND,
+    extrema_capacity=24576))
 
 
 def _force(out):
@@ -72,7 +73,8 @@ def main():
     from bpm_analysis_tpu.ops import find_peaks as fpo
     from bpm_analysis_tpu.models import envelope as envmod
 
-    ext_cap = cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks
+    ext_cap = (cfg.runtime.extrema_capacity
+               or cfg.runtime.find_peaks_work_factor * cfg.runtime.max_raw_peaks)
     ext_fn = jax.jit(jax.vmap(
         lambda e: fpo.build_extrema(envmod.edge_held(e, None)[1], ext_cap)))
     ext = timed("build_extrema", ext_fn, env)
