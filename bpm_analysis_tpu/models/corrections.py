@@ -87,8 +87,11 @@ def rhythm_correction(
         return (last_slot, last_pos, last_amp), (written, victim)
 
     init = (jnp.asarray(0, jnp.int32), pos[0], amp[0])
+    # unroll: fewer sequential scan steps (the scan is step-latency-bound;
+    # the unrolled body is the same math, so results are bit-identical).
     _, (written, victim) = lax.scan(
-        step, init, (slot.astype(jnp.int32), pos.astype(jnp.int32), amp, valid))
+        step, init, (slot.astype(jnp.int32), pos.astype(jnp.int32), amp, valid),
+        unroll=8)
     written = written.at[0].set(count > 0)
     unseated = jnp.zeros((cap + 1,), jnp.bool_).at[victim].set(
         True, mode="drop")[:cap]
@@ -194,13 +197,24 @@ def _fix_iteration(
     classes = jnp.where(promote_mask_s2, types.S2_CORRECTED_GAP, classes)
     # noise_flag is sticky (ORIGINAL_REASON keeps the "Noise" substring).
 
-    # merge promoted S1 positions into the S1 list
-    add_pos = jnp.where(promote_mask_s1, rpos, n)
-    merged = jnp.sort(jnp.concatenate([pos, add_pos]))[:cap]
+    # Merge promoted S1 positions into the S1 list — closed form, no sort:
+    # a promotion in gap g lands immediately after pos[g], so its merged
+    # slot is g + (promotions in gaps <= g), and pos[i] shifts right by the
+    # promotions in gaps < i.  One cumsum over gaps + two slot scatters.
+    promoted_gap = gap_long & (first_per_gap < rcap)
+    prom_csum = jnp.cumsum(promoted_gap.astype(jnp.int32))  # promotions <= g
+    prom_before = jnp.concatenate([jnp.zeros((1,), jnp.int32), prom_csum[:-1]])
     merged_count = s1_count + n_promoted
     # Capacity overflow drops the tail — surfaced via the returned flag.
     overflowed = active & (merged_count > cap)
     merged_count = jnp.minimum(merged_count, cap)
+    slot_a = jnp.where(valid, slot + prom_before, cap + 1)
+    merged = jnp.full((cap + 1,), n, pos.dtype).at[slot_a].set(
+        pos, mode="drop")
+    prom_pos = rpos[jnp.clip(first_per_gap, 0, rcap - 1)]
+    slot_b = jnp.where(promoted_gap, slot + prom_csum, cap + 1)
+    merged = merged.at[slot_b].set(prom_pos, mode="drop")[:cap]
+    merged = jnp.where(jnp.arange(cap) < merged_count, merged, n)
 
     # ---- pass 2: remove the weaker of too-close adjacent beats ------------
     mslot = jnp.arange(cap)
@@ -267,8 +281,17 @@ def refine_and_correct(
     # "Noise" substring flag: NOISE class now; sticky through promotions.
     noise_flag = classes == types.NOISE
 
-    def body(i, state):
-        pos, count, noise_flag, classes, still_active, ovf = state
+    # The reference iterates until an iteration makes no corrections (<= 5);
+    # a while_loop reproduces that early exit — on realistic recordings the
+    # fixer converges after one working iteration, so this runs 2 of the 5
+    # paid by a static fori_loop (~115 ms/iteration at B=128 on chip).
+    # Under vmap the loop runs until every batch row converges.
+    def w_cond(state):
+        _, _, _, _, still_active, _, it = state
+        return still_active & (it < cfg.correction.max_iterations)
+
+    def w_body(state):
+        pos, count, noise_flag, classes, still_active, ovf, it = state
         new_pos, new_count, new_flag, new_classes, corrections, new_ovf = (
             _fix_iteration(
                 pos, count, raw_pos, raw_count, noise_flag, classes,
@@ -281,10 +304,10 @@ def refine_and_correct(
         noise_flag = jnp.where(take, new_flag, noise_flag)
         ovf = ovf | (take & new_ovf)
         still_active = still_active & (corrections > 0)
-        return (pos, count, noise_flag, classes, still_active, ovf)
+        return (pos, count, noise_flag, classes, still_active, ovf, it + 1)
 
     state = (pos, count, noise_flag, classes, jnp.asarray(True),
-             jnp.asarray(False))
-    state = lax.fori_loop(0, cfg.correction.max_iterations, body, state)
-    pos, count, _, classes, _, overflowed = state
+             jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    state = lax.while_loop(w_cond, w_body, state)
+    pos, count, _, classes, _, overflowed, _ = state
     return CorrectionResult(pos, count, classes, precorrection, overflowed)
