@@ -336,7 +336,11 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
 
     from bpm_analysis_tpu.models import envelope as envm, pipeline
 
-    cfg = _bench_cfg(stride, backend)
+    # prom_factor 2.0: 4 of 128 synthetic recordings carry >6144 trough
+    # NMS survivors (the 1.5 slot cap truncated them, tripping the
+    # no-overflow assertion below); slot width is cheap under the
+    # extrema-domain prominence backend.
+    cfg = _bench_cfg(stride, backend, prom_factor=2.0)
 
     # Same int16 quantization the CPU reference reads from its WAV, and the
     # same full preprocessing (band-pass filtfilt at the 302 Hz rate —

@@ -3,8 +3,8 @@
 Usage: python tools/profile_noise_floor.py [BATCH]
 Breaks the noise-floor stage (the pipeline's hottest, per
 tools/profile_stages.py) into its constituent kernels so perf work targets
-the real cost: trough find_peaks vs the two rolling quantiles vs dense
-interpolation vs fills.
+the real cost.  Timings queue 10 async dispatches per sync so the tunneled
+TPU's ~30 ms roundtrip amortizes.
 """
 import os
 import sys
@@ -46,16 +46,20 @@ def _probe(x):
     return jnp.sum(jnp.abs(x.astype(jnp.float32)))
 
 
+REPS = 10
+
+
 def timed(name, fn, *args):
     out = fn(*args)
     _force(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        out = fn(*args)
+        for _ in range(REPS):
+            out = fn(*args)
         _force(out)
-        best = min(best, time.time() - t0)
-    print(f"{name:22s} {best * 1e3:9.1f} ms", flush=True)
+        best = min(best, (time.time() - t0) / REPS)
+    print(f"{name:26s} {best * 1e3:9.1f} ms", flush=True)
     return out
 
 
@@ -72,11 +76,10 @@ def main():
     env_fn = jax.jit(jax.vmap(lambda s: envm.preprocess(s, SR, cfg)[0]))
     env = timed("envelope", env_fn, x)
 
-    def build_tables(e):
-        _, env_m = envm.edge_held(e, None)
-        return (fp._sparse_table(env_m, jnp.maximum),
-                fp._sparse_table(env_m, jnp.minimum))
-    tables = timed("sparse_tables", jax.jit(jax.vmap(build_tables)), env)
+    ext_cap = cfg.runtime.extrema_capacity
+    ext_fn = jax.jit(jax.vmap(
+        lambda e: fp.build_extrema(envm.edge_held(e, None)[1], ext_cap)))
+    ext = timed("build_extrema", ext_fn, env)
 
     ncfg = cfg.noise
     min_dist = int(cfg.features.min_peak_distance_sec * SR)
@@ -84,16 +87,26 @@ def main():
     window = int(ncfg.noise_window_sec * SR)
     stride = cfg.runtime.noise_quantile_stride
 
-    def troughs_only(e):
+    def troughs_only(e, ex):
         valid, env_m = envm.edge_held(e, None)
         prom = q.quantile_exact(e, cfg.features.trough_prominence_quantile, valid=valid)
-        kw = {}
         return fp.find_peaks(
             -env_m, cap, prominence=prom, distance=min_dist,
-            work_capacity=cfg.runtime.find_peaks_work_factor * cfg.runtime.max_troughs,
-            prominence_capacity=int(cfg.runtime.prominence_work_factor * cap), **kw)
+            prominence_capacity=int(cfg.runtime.prominence_work_factor * cap),
+            extrema=ex, extrema_negated=True,
+            candidates=fp.Peaks(ex.min_positions, ex.min_count, ex.overflowed),
+            priorities=-ex.min_heights[1:-1],
+            prominence_sweep_window=cfg.runtime.prominence_sweep_window,
+            prominence_residual_capacity=cfg.runtime.prominence_residual_capacity)
 
-    troughs = timed("trough find_peaks", jax.jit(jax.vmap(troughs_only)), env)
+    troughs = timed("trough find_peaks", jax.jit(jax.vmap(troughs_only)), env, ext)
+
+    def qexact_only(e):
+        valid, _ = envm.edge_held(e, None)
+        return q.quantile_exact(e, cfg.features.trough_prominence_quantile,
+                                valid=valid)
+
+    timed("  quantile_exact", jax.jit(jax.vmap(qexact_only)), env)
 
     def densify(e, tr):
         _, env_m = envm.edge_held(e, None)
@@ -112,10 +125,10 @@ def main():
 
     timed("edge_fill", jax.jit(jax.vmap(q.edge_fill)), rolled)
 
-    def full_nf(e):
-        return nfm.dynamic_noise_floor(e, SR, cfg)
+    def full_nf(e, ex):
+        return nfm.dynamic_noise_floor(e, SR, cfg, extrema=ex)
 
-    timed("FULL noise_floor", jax.jit(jax.vmap(full_nf)), env)
+    timed("FULL noise_floor", jax.jit(jax.vmap(full_nf)), env, ext)
 
 
 if __name__ == "__main__":
