@@ -70,6 +70,36 @@ def local_maxima_mask(x: jnp.ndarray) -> jnp.ndarray:
     return ok & left_lower & right_lower & (idx == midpoint)
 
 
+def local_extrema_masks(x: jnp.ndarray):
+    """(maxima mask, minima mask) in one pass — the run/boundary machinery
+    of ``local_maxima_mask`` is sign-invariant, so both kinds share it and
+    only the neighbor comparisons flip."""
+    n = x.shape[0]
+    idx = jnp.arange(n)
+    neq_prev = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
+    neq_next = jnp.concatenate([x[:-1] != x[1:], jnp.array([True])])
+    run_start = lax.cummax(jnp.where(neq_prev, idx, -1))
+    run_end = jnp.flip(lax.cummin(jnp.flip(jnp.where(neq_next, idx, n))))
+    rs = jnp.maximum(run_start, 0)
+    re = jnp.minimum(run_end, n - 1)
+    ok = (rs >= 1) & (re <= n - 2)
+    prev_v = jnp.concatenate([x[:1], x[:-1]])
+    next_v = jnp.concatenate([x[1:], x[-1:]])
+    midpoint = ok & (idx == (rs + re) // 2)
+    neq_next_f = jnp.flip(neq_next)
+
+    def boundary(prev_lower, next_lower):
+        lcode = jnp.where(neq_prev, 2 * idx + prev_lower, -1)
+        left = (lax.cummax(lcode) & 1) == 1
+        rcode = jnp.where(neq_next_f, 2 * idx + jnp.flip(next_lower), -1)
+        right = jnp.flip((lax.cummax(rcode) & 1) == 1)
+        return left & right
+
+    mmax = midpoint & boundary(prev_v < x, next_v < x)
+    mmin = midpoint & boundary(prev_v > x, next_v > x)
+    return mmax, mmin
+
+
 def _compact_mask(mask: jnp.ndarray, capacity: int) -> Peaks:
     """Stable compaction of mask indices via rank-scatter (a cumsum + one
     scatter) — sorting an n-length key array is ~500 ms at n≈200k on TPU."""
@@ -245,8 +275,7 @@ def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
     n = x.shape[0]
     real_cap = capacity - 2
     union_cap = 2 * real_cap
-    mmax = local_maxima_mask(x)
-    mmin = local_maxima_mask(-x)
+    mmax, mmin = local_extrema_masks(x)
     both = mmax | mmin
 
     idx = jnp.arange(n, dtype=jnp.int32)

@@ -40,15 +40,19 @@ def _probe(x):
     return jnp.sum(jnp.abs(x.astype(jnp.float32)))
 
 
+REPS = 10
+
+
 def timed(name, fn, *args):
     out = fn(*args)
     _force(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        out = fn(*args)
+        for _ in range(REPS):
+            out = fn(*args)
         _force(out)
-        best = min(best, time.time() - t0)
+        best = min(best, (time.time() - t0) / REPS)
     print(f"{name:28s} {best * 1e3:9.1f} ms", flush=True)
     return out
 
@@ -98,7 +102,9 @@ def main():
     pos = jnp.tile(jnp.arange(0, cap_pos * 16, 16, dtype=jnp.int32)[None], (BATCH, 1))
     valid = jnp.ones((BATCH, cap_pos), bool)
 
-    for W, RC in ((64, 2048), (32, 2048), (16, 2048), (64, 512), (8, 512)):
+    # sweep-only cost: a variant with residual_capacity so small that the
+    # descent is negligible, minus the overhead baseline at W=1.
+    for W, RC in ((64, 1024), (32, 1024), (64, 128), (1, 128)):
         def prom_fn(ex, p, v, W=W, RC=RC):
             return fp.extrema_prominences(ex, p, v, negated=False,
                                           sweep_window=W, residual_capacity=RC)
