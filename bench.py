@@ -44,7 +44,12 @@ MINUTES = 10
 N_SAMPLES = SR * 60 * MINUTES
 BATCH = 128
 NATIVE_FILES = 64
-NATIVE_BATCH = 32          # host-side stride decimation stages (32, 2^18)
+# Native-rate chunk size: small enough that several chunks pipeline —
+# decode+H2D of chunk k+1 (staging thread) overlaps chunk k's device
+# compute.  Measured on-chip over the 64-file fleet: 64 -> 172, 32 -> 298,
+# 24 -> 274, 16 -> 332, 8 -> 292 audio-min/s; one 64-file chunk has nothing
+# to overlap with and serializes decode -> H2D -> compute.
+NATIVE_BATCH = 16
                            # chunks — ~16 MB each, not 2 GB of raw 44.1 kHz
 ACCURACY_SEEDS = 4
 
