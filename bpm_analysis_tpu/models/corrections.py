@@ -105,15 +105,50 @@ def rhythm_correction(
     return final_pos.astype(jnp.int32), final_count
 
 
+def _static_candidates(raw_pos, raw_count, noise_flag, envelope, floor,
+                       capacity: int, cfg: AnalyzerConfig):
+    """Loop-invariant promotion-candidate features of the raw-peak list —
+    hoisted out of the stage-5 iterations (the noise flag is sticky and the
+    raw list never changes, so candidacy minus the gap predicates is fixed).
+    Candidates compact to ``capacity`` slots so the per-iteration
+    searchsorted/gather work scales with the realistic candidate population
+    instead of the raw capacity.  Returns (cand_rslot, cand_pos, cand_next,
+    count, overflowed)."""
+    from ..ops.find_peaks import compact_slots
+
+    c = cfg.correction
+    rcap = raw_pos.shape[0]
+    n = envelope.shape[0]
+    rslot = jnp.arange(rcap)
+    rvalid = rslot < raw_count
+    rpos = jnp.where(rvalid, raw_pos, n)
+    rpos_c = jnp.clip(rpos, 0, n - 1)
+    next_rpos = jnp.concatenate([rpos[1:], jnp.full((1,), n, rpos.dtype)])
+    has_next = rslot + 1 < raw_count
+    next_noise = jnp.concatenate([noise_flag[1:], jnp.zeros((1,), jnp.bool_)])
+    s1_strength = jnp.maximum(envelope[rpos_c] - floor[rpos_c], 0)
+    strong = s1_strength > c.penalty_waiver_strength_ratio * floor[rpos_c]
+    next_rpos_c = jnp.clip(next_rpos, 0, n - 1)
+    ratio_ok = (envelope[next_rpos_c] / (envelope[rpos_c] + 1e-9)
+                < c.penalty_waiver_max_s2_s1_ratio)
+    cand = rvalid & noise_flag & has_next & next_noise & strong & ratio_ok
+    (cand_rslot, cand_pos, cand_next), count, over = compact_slots(
+        cand, capacity,
+        [(rslot.astype(jnp.int32), jnp.int32(rcap)),
+         (rpos.astype(jnp.int32), jnp.int32(n)),
+         (next_rpos.astype(jnp.int32), jnp.int32(n))])
+    return cand_rslot, cand_pos, cand_next, count, over
+
+
 def _fix_iteration(
-    s1_pos, s1_count, raw_pos, raw_count, noise_flag, classes,
+    s1_pos, s1_count, cand, rcap: int, classes,
     envelope, floor, sample_rate, cfg: AnalyzerConfig,
 ):
-    """One iteration of stage 5.  Returns updated (s1_pos, s1_count,
-    noise_flag, classes, corrections_made)."""
+    """One iteration of stage 5.  ``cand`` is the loop-invariant compacted
+    candidate tuple from ``_static_candidates``.  Returns updated (s1_pos,
+    s1_count, classes, corrections_made, overflowed)."""
     c = cfg.correction
     cap = s1_pos.shape[0]
-    rcap = raw_pos.shape[0]
     n = envelope.shape[0]
     dtype = envelope.dtype
     sr = jnp.asarray(sample_rate, dtype)
@@ -162,37 +197,34 @@ def _fix_iteration(
     gap_in_margin = (gap_slot >= margin) & (gap_slot < s1_count - 1 - margin)
     gap_long = gap_in_margin & (rr_padded(rr, cap) > long_thresh)
 
-    rslot = jnp.arange(rcap)
-    rvalid = rslot < raw_count
-    rpos = jnp.where(rvalid, raw_pos, n)
-    rpos_c = jnp.clip(rpos, 0, n - 1)
-    next_rpos = jnp.concatenate([rpos[1:], jnp.full((1,), n, rpos.dtype)])
-    has_next = rslot + 1 < raw_count
-    next_noise = jnp.concatenate([noise_flag[1:], jnp.zeros((1,), jnp.bool_)])
+    cand_rslot, cand_pos, cand_next, cand_count, _ = cand
+    ccap = cand_pos.shape[0]
+    cslot = jnp.arange(ccap, dtype=jnp.int32)
+    cvalid = cslot < cand_count
 
-    gap_of = jnp.searchsorted(pos, rpos, side="right") - 1
+    gap_of = jnp.searchsorted(pos, cand_pos, side="right") - 1
     gap_of_c = jnp.clip(gap_of, 0, cap - 1)
-    in_gap = (gap_of >= 0) & (rpos > pos[gap_of_c]) & (rpos < pos[jnp.minimum(gap_of_c + 1, cap - 1)])
+    next_s1 = pos[jnp.minimum(gap_of_c + 1, cap - 1)]
+    in_gap = (gap_of >= 0) & (cand_pos > pos[gap_of_c]) & (cand_pos < next_s1)
+    s2_in_gap = cand_next < next_s1
 
-    s1_strength = jnp.maximum(envelope[rpos_c] - floor[rpos_c], 0)
-    strong = s1_strength > c.penalty_waiver_strength_ratio * floor[rpos_c]
-    next_rpos_c = jnp.clip(next_rpos, 0, n - 1)
-    ratio_ok = (envelope[next_rpos_c] / (envelope[rpos_c] + 1e-9)
-                < c.penalty_waiver_max_s2_s1_ratio)
-    s2_in_gap = next_rpos < pos[jnp.minimum(gap_of_c + 1, cap - 1)]
+    cand_ok = (active & cvalid & in_gap & gap_long[gap_of_c] & s2_in_gap)
 
-    cand_ok = (active & rvalid & noise_flag & in_gap & gap_long[gap_of_c]
-               & has_next & next_noise & s2_in_gap & strong & ratio_ok)
-
-    # first qualifying candidate per gap (segmented min over raw slots)
-    first_per_gap = jnp.full((cap,), rcap, jnp.int32).at[gap_of_c].min(
-        jnp.where(cand_ok, rslot, rcap).astype(jnp.int32)
+    # first qualifying candidate per gap (segmented min over candidate
+    # slots; stable compaction keeps raw-slot order, so min candidate slot
+    # == min raw slot == the reference's "first pair in the gap")
+    first_per_gap = jnp.full((cap,), ccap, jnp.int32).at[gap_of_c].min(
+        jnp.where(cand_ok, cslot, ccap)
     )
-    promoted_s1_rslot = jnp.where(gap_long & (first_per_gap < rcap), first_per_gap, rcap)
-    promote_mask_s1 = jnp.zeros((rcap + 1,), jnp.bool_).at[promoted_s1_rslot].set(True)[:rcap]
+    promoted_gap0 = gap_long & (first_per_gap < ccap)
+    promoted_cslot = jnp.where(promoted_gap0, first_per_gap, ccap)
+    promoted_s1_rslot = jnp.where(
+        promoted_gap0, cand_rslot[jnp.clip(promoted_cslot, 0, ccap - 1)], rcap)
+    promote_mask_s1 = jnp.zeros((rcap + 1,), jnp.bool_).at[promoted_s1_rslot].set(
+        True, mode="drop")[:rcap]
     promote_mask_s2 = jnp.concatenate([jnp.zeros((1,), jnp.bool_), promote_mask_s1[:-1]])
 
-    n_promoted = jnp.sum(promote_mask_s1.astype(jnp.int32))
+    n_promoted = jnp.sum(promoted_gap0.astype(jnp.int32))
     classes = jnp.where(promote_mask_s1, types.S1_CORRECTED_GAP, classes)
     classes = jnp.where(promote_mask_s2, types.S2_CORRECTED_GAP, classes)
     # noise_flag is sticky (ORIGINAL_REASON keeps the "Noise" substring).
@@ -201,7 +233,7 @@ def _fix_iteration(
     # a promotion in gap g lands immediately after pos[g], so its merged
     # slot is g + (promotions in gaps <= g), and pos[i] shifts right by the
     # promotions in gaps < i.  One cumsum over gaps + two slot scatters.
-    promoted_gap = gap_long & (first_per_gap < rcap)
+    promoted_gap = promoted_gap0
     prom_csum = jnp.cumsum(promoted_gap.astype(jnp.int32))  # promotions <= g
     prom_before = jnp.concatenate([jnp.zeros((1,), jnp.int32), prom_csum[:-1]])
     merged_count = s1_count + n_promoted
@@ -211,7 +243,7 @@ def _fix_iteration(
     slot_a = jnp.where(valid, slot + prom_before, cap + 1)
     merged = jnp.full((cap + 1,), n, pos.dtype).at[slot_a].set(
         pos, mode="drop")
-    prom_pos = rpos[jnp.clip(first_per_gap, 0, rcap - 1)]
+    prom_pos = cand_pos[jnp.clip(promoted_cslot, 0, ccap - 1)]
     slot_b = jnp.where(promoted_gap, slot + prom_csum, cap + 1)
     merged = merged.at[slot_b].set(prom_pos, mode="drop")[:cap]
     merged = jnp.where(jnp.arange(cap) < merged_count, merged, n)
@@ -252,7 +284,7 @@ def _fix_iteration(
     # When inactive, pass through unchanged.
     out_pos = jnp.where(active, out_pos, s1_pos)
     out_count = jnp.where(active, out_count, s1_count).astype(jnp.int32)
-    return (out_pos.astype(jnp.int32), out_count, noise_flag,
+    return (out_pos.astype(jnp.int32), out_count,
             classes.astype(jnp.int32), corrections, overflowed)
 
 
@@ -280,6 +312,11 @@ def refine_and_correct(
 
     # "Noise" substring flag: NOISE class now; sticky through promotions.
     noise_flag = classes == types.NOISE
+    rcap = raw_pos.shape[0]
+    *cand_arrays, cand_count, cand_over = _static_candidates(
+        raw_pos, raw_count, noise_flag, envelope, floor,
+        s1_pos.shape[0], cfg)
+    cand = (*cand_arrays, cand_count, cand_over)
 
     # The reference iterates until an iteration makes no corrections (<= 5);
     # a while_loop reproduces that early exit — on realistic recordings the
@@ -287,27 +324,29 @@ def refine_and_correct(
     # paid by a static fori_loop (~115 ms/iteration at B=128 on chip).
     # Under vmap the loop runs until every batch row converges.
     def w_cond(state):
-        _, _, _, _, still_active, _, it = state
+        _, _, _, still_active, _, it = state
         return still_active & (it < cfg.correction.max_iterations)
 
     def w_body(state):
-        pos, count, noise_flag, classes, still_active, ovf, it = state
-        new_pos, new_count, new_flag, new_classes, corrections, new_ovf = (
+        pos, count, classes, still_active, ovf, it = state
+        new_pos, new_count, new_classes, corrections, new_ovf = (
             _fix_iteration(
-                pos, count, raw_pos, raw_count, noise_flag, classes,
+                pos, count, cand, rcap, classes,
                 envelope, floor, sample_rate, cfg,
             ))
         take = still_active
         pos = jnp.where(take, new_pos, pos)
         count = jnp.where(take, new_count, count)
         classes = jnp.where(take, new_classes, classes)
-        noise_flag = jnp.where(take, new_flag, noise_flag)
         ovf = ovf | (take & new_ovf)
         still_active = still_active & (corrections > 0)
-        return (pos, count, noise_flag, classes, still_active, ovf, it + 1)
+        return (pos, count, classes, still_active, ovf, it + 1)
 
-    state = (pos, count, noise_flag, classes, jnp.asarray(True),
+    state = (pos, count, classes, jnp.asarray(True),
              jnp.asarray(False), jnp.asarray(0, jnp.int32))
     state = lax.while_loop(w_cond, w_body, state)
-    pos, count, _, classes, _, overflowed, _ = state
+    pos, count, classes, _, overflowed, _ = state
+    # Candidate-slot overflow only matters when promotions could have been
+    # missed, i.e. the candidate population exceeded the S1 capacity too.
+    overflowed = overflowed | cand_over
     return CorrectionResult(pos, count, classes, precorrection, overflowed)

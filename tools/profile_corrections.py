@@ -102,9 +102,15 @@ def main():
     pos4 = timed("stage-4 scan", r4, s1p, s1c, env)
 
     noise_flag = classes == types.NOISE
-    one_iter = jax.jit(jax.vmap(
-        lambda p, c_, rp, rc, nfg, cl, e, f: corrections._fix_iteration(
-            p, c_, rp, rc, nfg, cl, e, f, SR, cfg)))
+    rcap = peaks.positions.shape[1]
+
+    def one_iter_fn(p, c_, rp, rc, nfg, cl, e, f):
+        *arrs, cnt, over = corrections._static_candidates(
+            rp, rc, nfg, e, f, p.shape[0], cfg)
+        return corrections._fix_iteration(
+            p, c_, (*arrs, cnt, over), rcap, cl, e, f, SR, cfg)
+
+    one_iter = jax.jit(jax.vmap(one_iter_fn))
     timed("one fix_iteration", one_iter, pos4[0], pos4[1], peaks.positions,
           peaks.count, noise_flag, classes, env, nf.floor)
 
