@@ -101,26 +101,21 @@ def local_extrema_masks(x: jnp.ndarray):
 
 
 def _compact_mask(mask: jnp.ndarray, capacity: int) -> Peaks:
-    """Stable compaction of mask indices via rank-scatter (a cumsum + one
-    scatter) — sorting an n-length key array is ~500 ms at n≈200k on TPU."""
-    peaks, _ = _compact_mask_rank(mask, capacity)
-    return peaks
-
-
-def _compact_mask_rank(mask: jnp.ndarray, capacity: int):
-    """``_compact_mask`` that also returns the dense 1-based rank array
-    (``cumsum(mask)``): at a masked position p, ``rank[p]`` is p's 1-based
-    index among all masked positions — the bridge from dense positions to
-    compacted slots that ``extrema_prominences`` gathers through."""
+    """Stable compaction of mask indices via ``lax.top_k`` on negated
+    indices — TPU top_k runs ~3.7x faster than the rank-scatter this
+    replaces (scatter costs ~5 ns per dense element; top_k's partial sort
+    ~1.3 ns) and ~10x faster than a full sort.  Identical outputs."""
     n = mask.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    rank1 = jnp.cumsum(mask.astype(jnp.int32))
-    rank = rank1 - 1
-    write = jnp.where(mask & (rank < capacity), rank, capacity)
-    out = jnp.full((capacity + 1,), n, jnp.int32).at[write].set(idx, mode="drop")
-    total = rank1[-1]
+    key = jnp.where(mask, -idx, jnp.int32(-(1 << 30)))
+    k = min(capacity, n)
+    vals, _ = lax.top_k(key, k)
+    total = jnp.sum(mask.astype(jnp.int32))
     count = jnp.minimum(total, capacity)
-    return Peaks(out[:capacity], count, total > capacity), rank1
+    out = jnp.where(jnp.arange(k) < count, -vals, n)
+    if k < capacity:
+        out = jnp.concatenate([out, jnp.full((capacity - k,), n, jnp.int32)])
+    return Peaks(out, count, total > capacity)
 
 
 def _sparse_table(x: jnp.ndarray, op, levels: Optional[int] = None) -> jnp.ndarray:
@@ -280,12 +275,19 @@ def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
 
     idx = jnp.arange(n, dtype=jnp.int32)
     rank_u1 = jnp.cumsum(both.astype(jnp.int32))
-    r = rank_u1 - 1
-    write = jnp.where(both & (r < union_cap), r, union_cap + 1)
-    enc = jnp.full((union_cap + 1,), 2 * n, jnp.int32).at[write].set(
-        2 * idx + mmax.astype(jnp.int32), mode="drop")[:union_cap]
+    # Compaction by top_k on the negated encoded key (monotone in idx, so
+    # the result is in position order with the kind bit carried along) —
+    # ~3.7x faster than the rank-scatter it replaces at this width.
+    enc_key = jnp.where(both, -(2 * idx + mmax.astype(jnp.int32)),
+                        jnp.int32(-(1 << 30)))
+    uk = min(union_cap, n)
+    enc_vals, _ = lax.top_k(enc_key, uk)
     u_total = rank_u1[-1]
     u_count = jnp.minimum(u_total, union_cap)
+    enc = jnp.where(jnp.arange(uk) < u_count, -enc_vals, 2 * n)
+    if uk < union_cap:
+        enc = jnp.concatenate(
+            [enc, jnp.full((union_cap - uk,), 2 * n, jnp.int32)])
     first_is_max = (u_count > 0) & ((enc[0] & 1) == 1)
 
     dtype = x.dtype
@@ -328,16 +330,26 @@ def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
 
 
 def compact_slots(keep: jnp.ndarray, capacity: int, arrays_with_fills):
-    """Slot-domain stable compaction (cumsum + rank-scatter over the SLOT
-    axis — a few thousand elements, vs the ~5 ns/element dense-axis scatter)
-    of several aligned arrays by one mask.  Returns (list, count, overflow)."""
-    rank1 = jnp.cumsum(keep.astype(jnp.int32))
-    rr = rank1 - 1
-    w = jnp.where(keep & (rr < capacity), rr, capacity + 1)
-    outs = [jnp.full((capacity + 1,), fill, arr.dtype).at[w].set(
-        arr, mode="drop")[:capacity] for arr, fill in arrays_with_fills]
-    total = rank1[-1]
-    return outs, jnp.minimum(total, capacity), total > capacity
+    """Stable compaction of several aligned arrays by one mask: top_k on
+    negated slot indices picks the kept slots in order, then each array
+    gathers through them (top_k beats both the rank-scatter and a sort on
+    TPU).  Returns (list, count, overflow)."""
+    n = keep.shape[0]
+    slot = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(keep, -slot, jnp.int32(-(1 << 30)))
+    vals, _ = lax.top_k(key, min(capacity, n))
+    total = jnp.sum(keep.astype(jnp.int32))
+    count = jnp.minimum(total, capacity)
+    ok = jnp.arange(min(capacity, n)) < count
+    src = jnp.where(ok, -vals, 0)
+    outs = []
+    for arr, fill in arrays_with_fills:
+        o = jnp.where(ok, arr[src], fill)
+        if o.shape[0] < capacity:
+            o = jnp.concatenate(
+                [o, jnp.full((capacity - o.shape[0],), fill, o.dtype)])
+        outs.append(o)
+    return outs, count, total > capacity
 
 
 def _shift_right(a: jnp.ndarray, m: int, fill) -> jnp.ndarray:
@@ -443,7 +455,7 @@ def extrema_prominences(
 
     def residual(resolved, desc, vlo, vhi):
         need = is_peak & ~resolved
-        sel, _ = _compact_mask_rank(need, residual_capacity)
+        sel = _compact_mask(need, residual_capacity)
         s = jnp.clip(sel.positions, 0, cap - 1)
         v = peak_h[s]
         j = desc(v, s)
