@@ -116,8 +116,15 @@ def bpm_series(positions: jnp.ndarray, count, sample_rate: int,
 
     # Reference guard: smoothing only if median BPM > 0 — always true when
     # any valid diff exists.
+    # Beat times are >= the peak-finder NMS distance apart, which bounds the
+    # smoothing window's slot span and unlocks the gather-free path.
+    import math
+
+    dt_min = max(int(cfg.features.min_peak_distance_sec * sample_rate), 1) / sample_rate
+    m_bound = int(math.ceil(cfg.output.output_smoothing_window_sec / 2 / dt_min)) + 1
     smoothed = rolling.rolling_mean_time_window(
-        ctimes, cinst, valid, cfg.output.output_smoothing_window_sec
+        ctimes, cinst, valid, cfg.output.output_smoothing_window_sec,
+        max_slots_in_half_window=m_bound if m_bound <= 128 else None,
     )
     return BpmSeries(times=ctimes, smoothed=smoothed, instant=cinst, count=vcount)
 
@@ -178,11 +185,10 @@ def peak_exertion(bpm: BpmSeries, cfg: AnalyzerConfig) -> SlopeStats:
     return steepest_slope(bpm, cfg.output.slope_window_sec, +1)
 
 
-def major_slopes(bpm: BpmSeries, cfg: AnalyzerConfig, declines: bool,
-                 capacity: int = 64) -> SlopeList:
-    """``find_major_hr_inclines/declines`` (bpm_analysis.py:1486-1550):
-    trough→next-peak (incline) or peak→next-trough (decline) segments with
-    duration ≥ 10 s and |ΔBPM| ≥ 15, sorted by slope steepness."""
+def slope_extrema(bpm: BpmSeries, cfg: AnalyzerConfig, capacity: int = 64):
+    """Peak/trough sets of the smoothed BPM curve for the major-slope scans
+    (bpm_analysis.py:1496-1497,1529-1530) — shared between the incline and
+    decline passes, which the reference computes twice on the same curve."""
     o = cfg.output
     cap = bpm.times.shape[0]
     slot = jnp.arange(cap)
@@ -200,6 +206,22 @@ def major_slopes(bpm: BpmSeries, cfg: AnalyzerConfig, declines: bool,
     vv = jnp.where(valid, bpm.smoothed, v[jnp.maximum(bpm.count - 1, 0)])
     pk = fp.find_peaks(vv, capacity, prominence=o.slope_peak_prominence, distance=dist)
     tr = fp.find_peaks(-vv, capacity, prominence=o.slope_peak_prominence, distance=dist)
+    return pk, tr
+
+
+def major_slopes(bpm: BpmSeries, cfg: AnalyzerConfig, declines: bool,
+                 capacity: int = 64, extrema=None) -> SlopeList:
+    """``find_major_hr_inclines/declines`` (bpm_analysis.py:1486-1550):
+    trough→next-peak (incline) or peak→next-trough (decline) segments with
+    duration ≥ 10 s and |ΔBPM| ≥ 15, sorted by slope steepness."""
+    o = cfg.output
+    cap = bpm.times.shape[0]
+    slot = jnp.arange(cap)
+    valid = slot < bpm.count
+    t = jnp.where(valid, bpm.times, jnp.inf)
+    v = jnp.where(valid, bpm.smoothed, jnp.nan)
+
+    pk, tr = extrema if extrema is not None else slope_extrema(bpm, cfg, capacity)
 
     starts, ends = (pk, tr) if declines else (tr, pk)
     s_slot = jnp.arange(capacity)
@@ -314,14 +336,15 @@ def compute_metrics(positions: jnp.ndarray, count, sample_rate: int,
     hrv_nonempty = hrv.count > 0
     avg_rmssdc = jnp.where(hrv_nonempty, jnp.nanmean(hrv.rmssdc), jnp.nan)
     avg_sdnn = jnp.where(hrv_nonempty, jnp.nanmean(hrv.sdnn), jnp.nan)
+    slope_ext = slope_extrema(bpm, cfg)
     return Metrics(
         bpm=bpm,
         hrv=hrv,
         hrr=hrr(bpm, cfg),
         peak_exertion=peak_exertion(bpm, cfg),
         peak_recovery=peak_recovery(bpm, cfg),
-        inclines=major_slopes(bpm, cfg, declines=False),
-        declines=major_slopes(bpm, cfg, declines=True),
+        inclines=major_slopes(bpm, cfg, declines=False, extrema=slope_ext),
+        declines=major_slopes(bpm, cfg, declines=True, extrema=slope_ext),
         avg_bpm=avg, min_bpm=mn, max_bpm=mx,
         avg_rmssdc=avg_rmssdc, avg_sdnn=avg_sdnn,
     )

@@ -111,7 +111,8 @@ def rolling_mean_dynamic_window(x: jnp.ndarray, valid: jnp.ndarray, window) -> j
 
 
 def rolling_mean_time_window(
-    times: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray, window_sec: float
+    times: jnp.ndarray, values: jnp.ndarray, valid: jnp.ndarray,
+    window_sec: float, max_slots_in_half_window: int | None = None,
 ) -> jnp.ndarray:
     """pandas time-based ``rolling('Xs', min_periods=1, center=True).mean()``
     over an irregularly-sampled series: window = (t - X/2, t + X/2], closed
@@ -120,6 +121,14 @@ def rolling_mean_time_window(
     ``times`` must be sorted ascending over its valid prefix; padded slots
     (``valid`` False) are excluded.  Short-array path (BPM curves, ~1e3
     points) using prefix sums.
+
+    ``max_slots_in_half_window`` (static): when the caller can bound the
+    inter-sample spacing from below (beat times are >= the peak-finder's
+    NMS distance apart), the window membership spans at most that many
+    slots per side, and the two searchsorteds (the op's dominant cost — ~11
+    ns per scattered query-level gather on TPU) become dense shifted
+    compares.  The hi/lo indices and the prefix-sum arithmetic are
+    identical either way, so results are bit-identical.
     """
     half = window_sec / 2.0
     n = times.shape[0]
@@ -130,10 +139,25 @@ def rolling_mean_time_window(
     csum = jnp.concatenate([jnp.zeros((1,), values.dtype), jnp.cumsum(vz)])
     # (t - half, t + half]: left bound exclusive -> side='right' at t-half;
     # right bound inclusive -> side='right' at t+half.
-    lo = jnp.searchsorted(t, t - half, side="right")
-    hi = jnp.searchsorted(t, t + half, side="right")
-    hi = jnp.minimum(hi, nvalid)
-    lo = jnp.minimum(lo, nvalid)
+    M = max_slots_in_half_window
+    if M is not None and M < n:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        cnt_next = jnp.zeros((n,), jnp.int32)
+        cnt_prev = jnp.zeros((n,), jnp.int32)
+        pos_inf = jnp.array(jnp.inf, t.dtype)
+        neg_inf = jnp.array(-jnp.inf, t.dtype)
+        for m in range(1, M + 1):
+            nxt = jnp.concatenate([t[m:], jnp.full((m,), pos_inf, t.dtype)])
+            cnt_next += (nxt <= t + half).astype(jnp.int32)
+            prv = jnp.concatenate([jnp.full((m,), neg_inf, t.dtype), t[:-m]])
+            cnt_prev += (prv > t - half).astype(jnp.int32)
+        hi = idx + 1 + cnt_next
+        lo = idx - cnt_prev
+    else:
+        lo = jnp.searchsorted(t, t - half, side="right")
+        hi = jnp.searchsorted(t, t + half, side="right")
+    hi = jnp.clip(hi, 0, nvalid)
+    lo = jnp.clip(lo, 0, nvalid)
     sums = csum[hi] - csum[lo]
     counts = (hi - lo).astype(values.dtype)
     out = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
