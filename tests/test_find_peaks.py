@@ -148,3 +148,20 @@ def test_extrema_residual_overflow_flag():
     assert not bool(ovf_ok)
     np.testing.assert_array_equal(np.asarray(got)[: len(peaks)],
                                   scipy_proms(x, peaks)[0])
+
+
+def test_compact_slots_capacity_exceeds_axis():
+    """capacity > input axis: top_k clamps to the axis and pads with fills."""
+    keep = jnp.asarray([True, False, True, True])
+    arr = jnp.asarray([10, 20, 30, 40], jnp.int32)
+    (out,), count, over = fp.compact_slots(keep, 8, [(arr, jnp.int32(-1))])
+    np.testing.assert_array_equal(np.asarray(out), [10, 30, 40, -1, -1, -1, -1, -1])
+    assert int(count) == 3 and not bool(over)
+
+
+def test_compact_mask_small_n_large_capacity():
+    mask = jnp.asarray([False, True, False, True, True])
+    pk = fp._compact_mask(mask, 16)
+    np.testing.assert_array_equal(np.asarray(pk.positions)[:3], [1, 3, 4])
+    assert int(pk.count) == 3 and not bool(pk.overflowed)
+    assert np.all(np.asarray(pk.positions)[3:] == 5)

@@ -71,3 +71,25 @@ def test_envelope_window_on_vulpine(oracle):
     sr = int(oracle["sample_rate"])
     got = np.asarray(rolling.rolling_mean_centered(jnp.abs(jnp.asarray(raw)), sr // 10))
     np.testing.assert_allclose(got, oracle["envelope"], rtol=1e-12)
+
+
+def test_rolling_mean_time_window_bounded_path_bit_identical():
+    """The shift-count path (static bound on slots per half-window) must be
+    bit-identical to the searchsorted path: identical hi/lo indices feed the
+    identical prefix-sum arithmetic."""
+    rng = np.random.RandomState(7)
+    n, cap = 300, 512
+    # spacing >= 0.05 s (the beat-time invariant that justifies the bound)
+    times = np.cumsum(0.05 + rng.rand(n) * 0.5)
+    values = rng.rand(n) * 120
+    tp = np.zeros(cap); tp[:n] = times
+    vp = np.zeros(cap); vp[:n] = values
+    valid = np.arange(cap) < n
+    base = np.asarray(rolling.rolling_mean_time_window(
+        jnp.asarray(tp), jnp.asarray(vp), jnp.asarray(valid), 5.0))
+    m_bound = int(np.ceil(2.5 / 0.05)) + 1
+    fast = np.asarray(rolling.rolling_mean_time_window(
+        jnp.asarray(tp), jnp.asarray(vp), jnp.asarray(valid), 5.0,
+        max_slots_in_half_window=m_bound))
+    np.testing.assert_array_equal(
+        fast.view(np.uint8), base.view(np.uint8))
