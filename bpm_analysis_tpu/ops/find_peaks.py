@@ -14,9 +14,13 @@ tests/test_find_peaks.py):
   conditions in that sequence, so the distance NMS never sees peaks already
   dropped by height, and prominences are only evaluated for NMS survivors),
 * the distance filter is a greedy highest-first suppression over peaks sorted
-  by height, ties broken toward the *later* peak (scipy iterates a stable
-  ascending argsort in reverse), with ``ceil(distance)`` spacing, strict
-  ``<`` comparison,
+  by height, ties broken toward the *later* peak, with ``ceil(distance)``
+  spacing, strict ``<`` comparison.  NOTE: scipy itself iterates a
+  *non-stable* ``np.argsort`` in reverse, so its order among EQUAL heights is
+  implementation-defined (quicksort partition order); this implementation
+  fixes the deterministic later-peak-first convention, which matches scipy on
+  all distinct-height inputs and may legitimately differ on exact ties
+  (observed on int16-quantized synthetics),
 * prominence of a peak is ``x[p] - max(min(x[lb..p]), min(x[p..rb]))`` where
   lb/rb sit one past the nearest strictly-greater sample on each side
   (``wlen=None``), falling back to the signal edges.
@@ -499,8 +503,10 @@ def _select_by_distance(
     dist = jnp.ceil(jnp.asarray(distance, jnp.float32))
     neg_inf = jnp.finfo(jnp.float32).min
     prio = jnp.where(valid, priority.astype(jnp.float32), neg_inf)
-    # scipy iterates a *stable ascending* argsort in reverse: highest priority
-    # first; among equal priorities the later (larger-index) peak first.
+    # Highest priority first; among equal priorities the later (larger-index)
+    # peak first — a deterministic convention (scipy's own np.argsort is
+    # non-stable, so its tie order is implementation-defined; see module
+    # docstring).
     # ``rank`` is each slot's (unique) position in that processing order, so
     # the priority relation "k beats j" is simply rank[k] < rank[j].
     order = jnp.flip(jnp.argsort(prio, stable=True))
