@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .quantile import _sortable_key
+
 
 class Peaks(NamedTuple):
     positions: jnp.ndarray  # (capacity,) int32; slots >= count hold n (past end)
@@ -506,13 +508,12 @@ def _select_by_distance(
     # Highest priority first; among equal priorities the later (larger-index)
     # peak first — a deterministic convention (scipy's own np.argsort is
     # non-stable, so its tie order is implementation-defined; see module
-    # docstring).
-    # ``rank`` is each slot's (unique) position in that processing order, so
-    # the priority relation "k beats j" is simply rank[k] < rank[j].
-    order = jnp.flip(jnp.argsort(prio, stable=True))
-    rank = jnp.zeros((cap,), jnp.int32).at[order].set(
-        jnp.arange(cap, dtype=jnp.int32))
-    big = jnp.int32(cap)
+    # docstring).  The short-window branch below never materializes that
+    # order: ranks are only ever *compared within distance windows*, so the
+    # lexicographic (priority, slot) maximum decides each window directly and
+    # the full argsort (~15 ns/element: the single most expensive op of the
+    # NMS at realistic slot widths) plus its rank scatter are skipped.  The
+    # wide-window sparse-table branch still builds explicit ranks.
 
     # In scipy's greedy pass a peak removes its neighbors only if it is
     # itself still alive when processed, and a peak alive at its processing
@@ -569,33 +570,62 @@ def _select_by_distance(
         return jnp.any(alive)
 
     if win <= 32:
-        # Gather-free range-min over the (short) neighborhoods: a stack of
-        # static shifts with the [lo, hi] bounds applied as masks.  The
-        # sparse-table + gather formulation below costs ~4 scattered gathers
-        # per round, which dominated NMS time at small distances.
-        def _win_min(vals):
-            acc = jnp.full_like(vals, big)
-            for m in range(-win, win + 1):
-                if m < 0:
-                    sh = jnp.concatenate([jnp.full((-m,), big, vals.dtype),
-                                          vals[:m]])
-                elif m > 0:
-                    sh = jnp.concatenate([vals[m:],
-                                          jnp.full((m,), big, vals.dtype)])
-                else:
-                    sh = vals
-                i_m = slot_idx + m
-                ok = (i_m >= lo) & (i_m <= hi)
-                acc = jnp.minimum(acc, jnp.where(ok, sh, big))
-            return acc
+        # Gather- AND sort-free rounds over the (short) neighborhoods: the
+        # processing-order relation "k beats j" is the lexicographic order on
+        # (priority, slot), so each round's window winner is the running
+        # lexicographic max over a stack of static shifts — key equality
+        # breaking toward the larger slot — with the [lo, hi] bounds applied
+        # as masks.  One sweep decides the winners, one windowed-any marks
+        # their suppressed neighbors.  (The sparse-table + gather formulation
+        # below costs ~4 scattered gathers per round, which dominated NMS
+        # time at small distances; the explicit-rank variant this replaces
+        # paid a full ~15 ns/element argsort + rank scatter up front — the
+        # single most expensive op of the NMS at realistic slot widths.)
+        # ``+ 0.0`` flushes a -0.0 priority to +0.0 so key equality coincides
+        # with float equality (the argsort treated ±0.0 as tied; so must the
+        # key).  Key 0 sits below every real key (-inf maps to 0x007fffff)
+        # and marks masked-out candidates.
+        key = _sortable_key(prio + 0.0)
+        key0 = jnp.zeros((), key.dtype)
+        offs = range(-win, win + 1)
+        i_ms = [slot_idx + m for m in offs]
+        ok_ms = [(i_m >= lo) & (i_m <= hi) for i_m in i_ms]
+
+        def _shifted(vals, m, fill):
+            if m < 0:
+                return jnp.concatenate([jnp.full((-m,), fill, vals.dtype),
+                                        vals[:m]])
+            if m > 0:
+                return jnp.concatenate([vals[m:],
+                                        jnp.full((m,), fill, vals.dtype)])
+            return vals
 
         def body(state):
             keep, alive = state
-            new_keep = alive & (_win_min(jnp.where(alive, rank, big)) == rank)
-            killed = _win_min(jnp.where(new_keep, rank, big)) < big
+            akey = jnp.where(alive, key, key0)
+            best = jnp.full((cap,), 0, key.dtype)
+            winner = jnp.full((cap,), -1, jnp.int32)
+            for m, i_m, ok in zip(offs, i_ms, ok_ms):
+                k_m = jnp.where(ok, _shifted(akey, m, key0), key0)
+                better = (k_m > best) | ((k_m == best) & (i_m > winner)
+                                         & (k_m > key0))
+                best = jnp.where(better, k_m, best)
+                winner = jnp.where(better, i_m, winner)
+            new_keep = alive & (winner == slot_idx)
+            killed = jnp.zeros((cap,), bool)
+            for m, i_m, ok in zip(offs, i_ms, ok_ms):
+                killed = killed | (ok & _shifted(new_keep, m, False))
             alive = alive & ~new_keep & ~killed
             return keep | new_keep, alive
     else:
+        # Wide / traced-distance fallback: explicit processing-order ranks
+        # (stable argsort descending, later slot first among equal
+        # priorities) + sparse-table range-min per round.
+        order = jnp.flip(jnp.argsort(prio, stable=True))
+        rank = jnp.zeros((cap,), jnp.int32).at[order].set(
+            jnp.arange(cap, dtype=jnp.int32))
+        big = jnp.int32(cap)
+
         def body(state):
             keep, alive = state
             t_alive = _sparse_table(jnp.where(alive, rank, big), jnp.minimum,

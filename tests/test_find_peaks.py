@@ -165,3 +165,40 @@ def test_compact_mask_small_n_large_capacity():
     np.testing.assert_array_equal(np.asarray(pk.positions)[:3], [1, 3, 4])
     assert int(pk.count) == 3 and not bool(pk.overflowed)
     assert np.all(np.asarray(pk.positions)[3:] == 5)
+
+
+def test_distance_nms_tie_oracle_fuzz():
+    """The sort-free NMS (lexicographic (priority, slot) window max) must
+    reproduce the deterministic greedy convention exactly — descending
+    priority, equal priorities toward the later slot — including under heavy
+    ties.  Oracle: the literal sequential greedy suppression."""
+    import math
+
+    def oracle_nms(pos, prio, dist):
+        d = math.ceil(dist)
+        order = sorted(range(len(pos)), key=lambda i: (-prio[i], -i))
+        keep = np.zeros(len(pos), bool)
+        alive = np.ones(len(pos), bool)
+        for i in order:
+            if not alive[i]:
+                continue
+            keep[i] = True
+            for j in range(len(pos)):
+                if j != i and alive[j] and abs(int(pos[j]) - int(pos[i])) < d:
+                    alive[j] = False
+        return keep
+
+    rng = np.random.default_rng(7)
+    cap = 64
+    # fixed set: one compile per distance; 70.0 exercises the wide-window
+    # sparse-table branch (win > 32), the others the sort-free branch
+    for dist in (2.0, 7.0, 19.0, 33.0, 70.0):
+        for _ in range(8):
+            n = int(rng.integers(5, 60))
+            pos = np.sort(rng.choice(1500, size=n, replace=False)).astype(np.int32)
+            prio = rng.integers(0, 3, size=n).astype(np.float32)  # heavy ties
+            p = jnp.full((cap,), 1500, jnp.int32).at[:n].set(pos)
+            pr = jnp.full((cap,), -np.inf, jnp.float32).at[:n].set(prio)
+            valid = jnp.arange(cap) < n
+            keep = np.asarray(fp._select_by_distance(p, pr, valid, dist))[:n]
+            np.testing.assert_array_equal(keep, oracle_nms(pos, prio, dist))
