@@ -195,6 +195,13 @@ def decode_batch_i16(paths: List[str], max_samples: int,
         try:
             sr, mono = decode_mono_f32(paths[i], max_samples,
                                        int(stride_arr[i]))
+            if len(mono) and (np.abs(mono) > 32767).any():
+                # The probe said mono PCM16 but the decoded values don't fit
+                # int16 — the file changed between probe and decode (or was
+                # misprobed).  A wrapping cast would silently corrupt the
+                # signal; treat it as a decode failure instead.
+                raise ValueError("fallback decode produced values outside "
+                                 "int16 range (file changed since probe?)")
             out[i, : len(mono)] = mono.astype(np.int16)
             out[i, len(mono):] = 0
             rates[i] = sr

@@ -297,7 +297,17 @@ def refine_and_correct(
     envelope, floor, sample_rate, cfg: AnalyzerConfig,
 ) -> CorrectionResult:
     """Stages 4 + 5 (reference ``_refine_and_correct_peaks``,
-    bpm_analysis.py:1655-1698)."""
+    bpm_analysis.py:1655-1698).
+
+    INVARIANT (relied on downstream): every position this returns is a
+    member of ``raw_pos`` — corrections only drop peaks or promote existing
+    raw peaks, never synthesize new positions.  Final beats therefore stay
+    at least the peak-finder NMS distance apart, which is what lets
+    ``analytics._bpm_series`` bound its smoothing window's slot span and use
+    the gather-free rolling-mean path.  A correction stage that interpolated
+    NEW beat positions would silently break that bound — route such
+    positions through ``raw_pos`` or disable the bounded-window fast path.
+    """
     s1_pos = jnp.asarray(s1_pos, jnp.int32)
     s1_count = jnp.asarray(s1_count, jnp.int32)
     raw_pos = jnp.asarray(raw_pos, jnp.int32)

@@ -265,10 +265,11 @@ def build_extrema(x: jnp.ndarray, capacity: int) -> Extrema:
     includes the two virtual edge slots, i.e. at most ``capacity - 2`` real
     maxima (resp. minima) are representable before the overflow flag fires.
 
-    One dense rank-scatter compacts the maxima|minima union (the scatter is
-    the dominant cost at ~5 ns per dense element on TPU — paying it once
-    instead of per-kind), with each entry's kind bit packed into the
-    scattered value (``2*idx + is_max``).  Extrema strictly ALTERNATE
+    The maxima|minima union is compacted by ``lax.top_k`` on a negated
+    encoded key (~1.3 ns/element vs ~5 ns for the rank-scatter it replaced
+    — paying it once for the union instead of per-kind), with each entry's
+    kind bit packed into the key (``2*idx + is_max``).  Extrema strictly
+    ALTERNATE
     (exactly one minimum between consecutive maxima under plateau-midpoint
     semantics), so the per-kind arrays split off by union-slot parity —
     free strided slices, and per-kind ranks are closed-form in the union
