@@ -51,7 +51,16 @@ NATIVE_FILES = 64
 # to overlap with and serializes decode -> H2D -> compute.
 NATIVE_BATCH = 16
                            # chunks — ~16 MB each, not 2 GB of raw 44.1 kHz
+# Seeds generated when the CPU-oracle cache is missing (generation is slow:
+# the native-rate reference runs ~1 min/file).  Accuracy is computed against
+# EVERY seed present in the cache — tools/make_fleet_oracles.py extends the
+# caches to the full fleet (128 engine + 64 native), making the reported
+# worst-case F1/MAE fleet-wide rather than sampled.
 ACCURACY_SEEDS = 4
+# North-star accuracy gate (BASELINE.json): the bench FAILS (non-zero exit)
+# if worst-case beat F1 or BPM MAE regresses past these on any fleet seed.
+F1_FLOOR = 0.99
+MAE_CEIL = 0.5
 
 
 def synth_recording(seed: int) -> np.ndarray:
@@ -285,9 +294,14 @@ def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
         beats, times, values = tpu_curves[int(seed)]
         f1s.append(beat_f1(beats, oracle["beat_times"]))
         maes.append(bpm_mae(oracle["bpm_times"], oracle["bpm_values"], times, values))
-    return {"beat_f1_vs_cpu_reference": round(float(min(f1s)), 4),
+    rows = {"beat_f1_vs_cpu_reference": round(float(min(f1s)), 4),
             "bpm_mae_vs_cpu_reference": round(float(max(maes)), 4),
             "accuracy_seeds": len(f1s)}
+    assert rows["beat_f1_vs_cpu_reference"] >= F1_FLOOR, \
+        f"worst-case beat F1 {rows['beat_f1_vs_cpu_reference']} < {F1_FLOOR}"
+    assert rows["bpm_mae_vs_cpu_reference"] < MAE_CEIL, \
+        f"worst-case BPM MAE {rows['bpm_mae_vs_cpu_reference']} >= {MAE_CEIL}"
+    return rows
 
 
 # --- TPU measurements ------------------------------------------------------
@@ -376,17 +390,22 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
         np.asarray(res.final_count)  # forces completion (block is lazy on axon)
         best = min(best, time.time() - t0)
 
-    # Accuracy curves from the unperturbed batch (the oracle saw exactly it).
+    # Accuracy curves from the unperturbed batch (the oracle saw exactly it),
+    # for EVERY recording in the batch — _tpu_curves touches only the small
+    # leaves (positions/counts/BPM curve), so the fleet-wide fetch stays a
+    # few MB even over a tunneled link.
     res0 = fn(jnp.asarray(batch))
-    curves = _tpu_curves(jax.device_get(res0), ACCURACY_SEEDS)
+    curves = _tpu_curves(res0, batch_size)
     return batch_size * MINUTES / best, curves
 
 
 def measure_native_e2e(native_paths: list, backend: str, stride: int,
                        batch: int = NATIVE_BATCH):
     """configs[4] end-to-end: host decode + staging + device compute, timed
-    as one wall-clock interval over the whole fleet (double-buffered
-    front-end overlaps decode/transfer with compute)."""
+    as one wall-clock interval over the whole fleet (the five-lane pipelined
+    front-end overlaps decode, H2D, compute and D2H).  Returns
+    (rate, curves, lanes): ``lanes`` attributes the wall-clock across the
+    overlapped decode / H2D / compute / D2H lanes."""
     import jax
 
     _enable_cache()
@@ -410,31 +429,65 @@ def measure_native_e2e(native_paths: list, backend: str, stride: int,
     host_batch.analyze_files_batched(native_paths[:batch], cfg, outdir,
                                      max_batch=batch, render=False)
 
+    lanes = {}
     t0 = time.time()
     results, errors = host_batch.analyze_files_batched(
-        native_paths, cfg, outdir, max_batch=batch, render=False)
+        native_paths, cfg, outdir, max_batch=batch, render=False,
+        lane_stats=lanes)
     elapsed = time.time() - t0
     if errors:
         raise RuntimeError(f"native e2e bench had per-file errors: {errors[:3]}")
+    lanes = {k: round(v, 3) for k, v in sorted(lanes.items())}
+    lanes["wall"] = round(elapsed, 3)
 
     from bpm_analysis_tpu.models import envelope as envm
 
     rate = NATIVE_SR // envm.safe_downsample_factor(NATIVE_SR, cfg)
     curves = {}
-    for seed in range(ACCURACY_SEEDS):
+    for seed in range(len(native_paths)):
         res = results[native_paths[seed]]
         beats = np.asarray(res.final_positions)[: int(res.final_count)] / rate
         times, values = np.asarray(res.metrics.bpm.times), np.asarray(res.metrics.bpm.smoothed)
         k = int(res.metrics.bpm.count)
         curves[seed] = (beats, times[:k], values[:k])
-    return len(native_paths) * MINUTES / elapsed, curves
+    return len(native_paths) * MINUTES / elapsed, curves, lanes
+
+
+def measure_native_render(native_paths: list, backend: str, stride: int,
+                          n_files: int = 16, batch: int = NATIVE_BATCH) -> dict:
+    """render=True throughput on a fleet subset: the user-facing batch rate
+    with every artifact on (full-pytree D2H, filtered debug WAV, CSV, summary,
+    debug log, plot) — the analog of the reference front-end's complete
+    per-file output (reference gui.py worker loop).  Runs after
+    measure_native_e2e so the device program is already compiled; artifacts
+    land beside the bench WAVs in the temp fleet dir."""
+    from bpm_analysis_tpu import host_batch
+
+    cfg = _bench_cfg(stride, backend, candidates=3072, work_factor=8,
+                     prom_factor=2.0, extrema_capacity=32768)
+    paths = native_paths[:n_files]
+    outdir = os.path.dirname(paths[0])
+    t0 = time.time()
+    results, errors = host_batch.analyze_files_batched(
+        paths, cfg, outdir, max_batch=batch, render=True)
+    elapsed = time.time() - t0
+    if errors:
+        raise RuntimeError(f"render bench had per-file errors: {errors[:3]}")
+    assert all(results[p] is not None for p in paths)
+    return {"value": round(n_files * MINUTES / elapsed, 2),
+            "unit": "audio-min/sec/chip",
+            "includes": "decode + compute + full-pytree D2H + all per-file "
+                        "artifacts (CSV, summary, debug log, plot, filtered "
+                        "WAV)",
+            "n_files": n_files}
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=BATCH,
                    help="recordings per device batch (default 128)")
-    p.add_argument("--backend", default="auto", choices=["xla", "pallas", "auto"],
+    p.add_argument("--backend", default="auto",
+                   choices=["xla", "pallas", "knots", "knots_pallas", "auto"],
                    help="noise-floor quantile backend")
     p.add_argument("--stride", type=int, default=64,
                    help="noise-floor quantile anchor stride")
@@ -459,6 +512,8 @@ def main():
         cpu_data = measure_cpu_reference()
         cpu = cpu_data["audio_min_per_sec"]
         acc = _accuracy_rows(cpu_data["per_seed"], curves)
+    except AssertionError:
+        raise  # north-star accuracy regression must fail the bench
     except Exception:
         cpu, acc = None, {}
     out = {
@@ -472,8 +527,8 @@ def main():
     if not args.skip_native:
         try:
             native_paths = write_native_files(args.native_files)
-            e2e, e2e_curves = measure_native_e2e(native_paths, args.backend,
-                                                 args.stride)
+            e2e, e2e_curves, lanes = measure_native_e2e(
+                native_paths, args.backend, args.stride)
             native_cpu_data = measure_cpu_native(native_paths)
             e2e_acc = _accuracy_rows(native_cpu_data["per_seed"], e2e_curves)
             out["end_to_end_native_rate"] = {
@@ -484,9 +539,15 @@ def main():
                 "vs_baseline": round(e2e / native_cpu_data["audio_min_per_sec"], 2),
                 "beat_f1": e2e_acc["beat_f1_vs_cpu_reference"],
                 "bpm_mae": e2e_acc["bpm_mae_vs_cpu_reference"],
+                "accuracy_seeds": e2e_acc["accuracy_seeds"],
                 "n_files": args.native_files,
                 "sample_rate": NATIVE_SR,
+                "lanes": lanes,
             }
+            out["artifacts_on_rate"] = measure_native_render(
+                native_paths, args.backend, args.stride)
+        except AssertionError:
+            raise
         except Exception as e:
             out["end_to_end_native_rate"] = {"error": str(e)[:200]}
 

@@ -22,6 +22,7 @@ compiles O(log) distinct programs instead of one per (batch, length) pair.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 import os
@@ -65,6 +66,22 @@ def batch_bucket(n: int, max_batch: int) -> int:
     while b < n and b < max_batch:
         b <<= 1
     return b
+
+
+def doubled_capacities(cfg: AnalyzerConfig) -> AnalyzerConfig:
+    """The overflow-retry config: every fixed event capacity doubled.  The
+    work/slot factors are multiples of these capacities, so the derived
+    buffers (extrema work space, prominence slots) scale with them; analysis
+    parameters are untouched, so results on non-overflowing rows are
+    unchanged and the retried rows are exact (the capacity contract is
+    exactness-or-flag, never truncation)."""
+    rt = cfg.runtime
+    return dataclasses.replace(cfg, runtime=dataclasses.replace(
+        rt,
+        max_raw_peaks=rt.max_raw_peaks * 2,
+        max_troughs=rt.max_troughs * 2,
+        max_candidates=rt.max_candidates * 2,
+        extrema_capacity=rt.extrema_capacity * 2))
 
 
 @functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
@@ -136,6 +153,8 @@ def analyze_files_batched(
     pre_filtered: bool = False,
     render: bool = True,
     mesh=None,
+    lane_stats: Optional[Dict[str, float]] = None,
+    overflow_retries: int = 1,
 ) -> Tuple[Dict[str, object], List[Tuple[str, str]]]:
     """Analyze many files in device batches.  Returns (results, errors):
     ``results[original_path]`` is the per-file PipelineResult (or None when
@@ -145,11 +164,45 @@ def analyze_files_batched(
     Artifacts rendered per file match the serial ``host.analyze_wav_file``
     output exactly (masked-length contract).  With ``mesh``, batches are
     sharded over its ``dp`` axis (batch buckets pad to the dp size).
+
+    Field contract under ``render=False``: only the result fields a fleet
+    summary reads are fetched from device — ``final_positions``,
+    ``final_count``, ``metrics``, ``ok`` and the overflow flags.  The dense
+    per-sample leaves (``floor``, ``trace``, ``smoothed_deviation``) and the
+    capacity-shaped event sets (``classes``, ``precorrection_classes``,
+    ``s1_positions``, ``trough_positions``, ``raw_peak_positions``) are
+    returned as ``None`` — on tunneled devices D2H runs at ~20 MB/s, and not
+    fetching them is most of the end-to-end win.  Pass ``render=True`` (the
+    default) for the full pytree and on-disk artifacts.
+
+    ``lane_stats``, if given, accumulates per-lane busy seconds across the
+    run: ``decode`` (host decode + pad, decode thread), ``h2d`` (transfer +
+    DMA wait, h2d thread), ``compute_wait`` (time until the device
+    program's results are ready, fetch thread), ``d2h`` (result fetch, fetch
+    thread), ``render`` (artifact writing, fetch thread), plus ``chunks``.
+    Lanes overlap across threads, so their sum normally exceeds wall-clock;
+    each lane's value bounds what a further-overlapped schedule could save.
+
+    ``overflow_retries``: when a chunk trips a capacity overflow flag (an
+    event buffer would have truncated detected events), the chunk is re-run
+    up to this many times with all capacities doubled each time (one extra
+    compile per retry config; the staged device inputs are reused).  Results
+    stay exact — the retry just buys the buffers the recording needed.  Only
+    a chunk that still overflows after the retries surfaces the serial
+    path's capacity-overflow error on its per-file roster.  Set 0 to raise
+    immediately (the serial-mode contract).
     """
     errors: List[Tuple[str, str]] = []
     results: Dict[str, object] = {}
     if hints is None:
         hints = [None] * len(paths)
+
+    def _lane(key: str, dt: float = 1.0) -> None:
+        # Each key is written from exactly one thread (decode: decode
+        # thread; h2d: h2d thread; compute_wait/d2h/render: fetch thread),
+        # so the read-add-write is race-free under the GIL.
+        if lane_stats is not None:
+            lane_stats[key] = lane_stats.get(key, 0.0) + dt
 
     pairs = prepare_wavs(paths, output_dir, errors)
 
@@ -224,12 +277,12 @@ def analyze_files_batched(
             chunks.append((sr, bucket_len, i16,
                            idxs[chunk_start:chunk_start + max_batch]))
 
-    def stage_chunk(sr: int, bucket_len: int, i16: bool, chunk: List[int]):
-        """Decode + pad + host->device transfer for one chunk.  Runs on the
-        staging thread while the previous chunk computes on device (JAX
-        dispatch is thread-safe; ``device_put`` only enqueues the DMA), so
-        input staging overlaps device compute.  Returns (chunk, ok_rows,
-        device_args, staging_errors) — errors are merged on the main thread
+    def decode_chunk(sr: int, bucket_len: int, i16: bool, chunk: List[int]):
+        """Decode + pad one chunk into a host staging buffer.  Runs on the
+        decode thread, overlapping the H2D transfer of the PREVIOUS chunk
+        (h2d_chunk below releases the GIL during the DMA wait, and the C++
+        decoder releases it while converting).  Returns (chunk, ok_rows,
+        host_arrays, staging_errors) — errors are merged on the main thread
         to keep the roster order deterministic."""
         t0 = time.perf_counter()
         staging_errors: List[Tuple[str, str]] = []
@@ -272,17 +325,37 @@ def analyze_files_batched(
             audio[slot] = audio[0]
             n_valid[slot] = n_valid[0]
 
-        t1 = time.perf_counter()
-        args = (jnp.asarray(audio), jnp.asarray(hint_arr),
-                jnp.asarray(n_valid))
+        dt = time.perf_counter() - t0
+        _lane("decode", dt)
+        _lane("chunks")
+        logging.debug("decode_chunk[%d files, bucket %d]: %.3fs",
+                      len(chunk), bucket_len, dt)
+        return chunk, ok_rows, (audio, hint_arr, n_valid), staging_errors
+
+    def h2d_chunk(decode_future):
+        """Host->device transfer of one decoded chunk.  Runs on the H2D
+        thread: it waits for the decode future, stages the arrays and blocks
+        until they are device-resident — so the transfer of chunk k+1 rides
+        the (tunneled, bandwidth-bound) link while the decode thread chews
+        chunk k+2 and the device computes chunk k."""
+        chunk, ok_rows, host_arrays, staging_errors = decode_future.result()
+        if host_arrays is None:
+            return chunk, ok_rows, None, staging_errors
+        t0 = time.perf_counter()
+        args = tuple(jnp.asarray(a) for a in host_arrays)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             shard = NamedSharding(mesh, P(mesh.axis_names))
             args = tuple(jax.device_put(a, shard) for a in args)
-        logging.debug("stage_chunk[%d files, bucket %d]: decode %.3fs "
-                      "dispatch-h2d %.3fs", len(chunk), bucket_len,
-                      t1 - t0, time.perf_counter() - t1)
+        # Block until the input rows are resident on device: completing the
+        # transfer here (rather than lazily inside the next dispatch) keeps
+        # the lane attribution honest and lets the device program start the
+        # moment it is enqueued.
+        jax.block_until_ready(args[0])
+        dt = time.perf_counter() - t0
+        _lane("h2d", dt)
+        logging.debug("h2d_chunk[%d files]: %.3fs", len(chunk), dt)
         return chunk, ok_rows, args, staging_errors
 
     def dispatch_chunk(sr: int, staged):
@@ -296,13 +369,42 @@ def analyze_files_batched(
         if args is None:
             return None
         run = _analyze_prefiltered_batch if pre_filtered else _analyze_padded_batch
-        return chunk, ok_rows, run(*args, sr, cfg)
+        # args travel with the dispatch so the fetch thread can re-run the
+        # chunk under a doubled-capacity config on overflow (the staged
+        # device inputs are reused; nothing is re-decoded or re-transferred).
+        return chunk, ok_rows, run(*args, sr, cfg), args
 
-    def finish_chunk(sr: int, dispatched) -> None:
+    def finish_chunk(sr: int, dispatched) -> List[Tuple[str, str]]:
+        """Fetch + render one dispatched chunk on the fetch thread.  Returns
+        its post-processing errors instead of appending to the shared roster:
+        the caller merges them in chunk order after all fetch futures resolve,
+        so the roster order is deterministic across runs (staging errors
+        first, in chunk order, then post-processing errors in chunk order)."""
+        post_errors: List[Tuple[str, str]] = []
         if dispatched is None:
-            return
-        chunk, ok_rows, (env_b, filt_b, nvd_b, res_b) = dispatched
+            return post_errors
+        chunk, ok_rows, (env_b, filt_b, nvd_b, res_b), args = dispatched
         t0 = time.perf_counter()
+        # One tiny leaf first: returns when the device program has finished,
+        # so t_ready - t0 is pure compute wait and t1 - t_ready is pure D2H.
+        np.asarray(res_b.final_count)
+        # Overflow auto-retry: if any live row's capacity flag tripped,
+        # re-run this chunk with doubled capacities (exact results, one
+        # extra compile) instead of surfacing the serial path's error.
+        run = _analyze_prefiltered_batch if pre_filtered else _analyze_padded_batch
+        retry_cfg = cfg
+        for _ in range(overflow_retries):
+            if not bool(np.asarray(res_b.overflowed)[: len(ok_rows)].any()):
+                break
+            retry_cfg = doubled_capacities(retry_cfg)
+            logging.warning(
+                "capacity overflow in a %d-file chunk; retrying with "
+                "capacities %dx the configured sizes",
+                len(chunk), retry_cfg.runtime.max_raw_peaks
+                // cfg.runtime.max_raw_peaks)
+            env_b, filt_b, nvd_b, res_b = run(*args, sr, retry_cfg)
+            np.asarray(res_b.final_count)
+        t_ready = time.perf_counter()
         new_rate = sr if pre_filtered else _post_rate(sr, cfg)
         if render:
             env_np = np.asarray(env_b)
@@ -326,6 +428,8 @@ def analyze_files_batched(
                 raw_peak_positions=None))
         nvd_np = np.asarray(nvd_b)
         t1 = time.perf_counter()
+        _lane("compute_wait", t_ready - t0)
+        _lane("d2h", t1 - t_ready)
         for slot, row in enumerate(ok_rows):
             orig = pairs[chunk[row]][1]
             res_i = _tree_row(res_np, slot)
@@ -349,32 +453,59 @@ def analyze_files_batched(
                 results[orig] = out
             except Exception as e:
                 logging.exception(f"post-processing failed for {orig}")
-                errors.append((orig, str(e)))
-        logging.debug("finish_chunk[%d files]: compute+d2h %.3fs "
-                      "render %.3fs", len(chunk), t1 - t0,
+                post_errors.append((orig, str(e)))
+        _lane("render", time.perf_counter() - t1)
+        logging.debug("finish_chunk[%d files]: compute-wait %.3fs d2h %.3fs "
+                      "render %.3fs", len(chunk), t_ready - t0, t1 - t_ready,
                       time.perf_counter() - t1)
+        return post_errors
 
-    # --- triple-buffered pipeline ---------------------------------------------
-    # Three overlapped lanes: the staging thread decodes + H2D-transfers
-    # chunk k+1 while chunk k computes on device and chunk k-1's results
-    # stream back D2H in the fetch thread.  Dispatch stays on the main
-    # thread (enqueue-only), so the device queue is never idle waiting on a
-    # result fetch.  The single-worker fetch pool preserves chunk order, so
-    # the error roster and results stay deterministic.
+    # --- five-lane pipeline ----------------------------------------------------
+    # Overlapped lanes, one single-worker pool each so chunk order (and with
+    # it the result/error rosters) stays deterministic:
+    #   decode thread: chunk k+2 decodes into a host buffer, while
+    #   h2d thread:    chunk k+1 rides the (bandwidth-bound, tunneled) link,
+    #   device:        chunk k computes (dispatch stays on the main thread,
+    #                  enqueue-only, so the device queue never waits on a
+    #                  result fetch), and
+    #   fetch thread:  chunk k-1's results stream back D2H and render.
+    # Decode look-ahead is bounded by buffer bytes so the antialias path
+    # (full native-rate chunks, ~0.8 GB each) holds one buffer while the
+    # compat path (host-decimated, ~6 MB) keeps the decoder continuously
+    # busy.  Post-processing errors are merged in chunk order after the
+    # futures resolve (staging errors first, then post-processing).
     if chunks:
-        with ThreadPoolExecutor(max_workers=1) as stage_pool, \
+        from collections import deque
+
+        max_chunk_bytes = max(
+            batch_bucket(len(c), max_batch) * bl * (2 if i16 else 4)
+            for (_, bl, i16, c) in chunks)
+        lookahead = max(1, min(3, int((256 << 20) // max(max_chunk_bytes, 1))))
+        with ThreadPoolExecutor(max_workers=1) as decode_pool, \
+                ThreadPoolExecutor(max_workers=1) as h2d_pool, \
                 ThreadPoolExecutor(max_workers=1) as fetch_pool:
-            fut = stage_pool.submit(stage_chunk, *chunks[0])
+            dec: deque = deque()
+            h2ds: deque = deque()
+            next_decode = 0
+            for _ in range(min(lookahead, len(chunks))):
+                dec.append(decode_pool.submit(decode_chunk,
+                                              *chunks[next_decode]))
+                next_decode += 1
+            h2ds.append(h2d_pool.submit(h2d_chunk, dec.popleft()))
             fetches = []
             for ci in range(len(chunks)):
-                staged = fut.result()
-                if ci + 1 < len(chunks):
-                    fut = stage_pool.submit(stage_chunk, *chunks[ci + 1])
+                staged = h2ds.popleft().result()
+                if next_decode < len(chunks):
+                    dec.append(decode_pool.submit(decode_chunk,
+                                                  *chunks[next_decode]))
+                    next_decode += 1
+                if dec:
+                    h2ds.append(h2d_pool.submit(h2d_chunk, dec.popleft()))
                 dispatched = dispatch_chunk(chunks[ci][0], staged)
                 fetches.append(fetch_pool.submit(finish_chunk, chunks[ci][0],
                                                  dispatched))
             for f in fetches:
-                f.result()
+                errors.extend(f.result())
 
     return results, errors
 
