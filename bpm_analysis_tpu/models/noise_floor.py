@@ -109,15 +109,18 @@ def dynamic_noise_floor(
     if backend == "auto":
         import jax
 
-        # knots (ops/knot_quantile.py) measured 2.3x slower than the Pallas
-        # windowed kernel on TPU at the bench config (XLA lowering spills
-        # the (chunk, nseg) segment tables to HBM every bisection step);
-        # it stays opt-in until a fused lowering lands.
+        # knots_pallas (ops/pallas/knot_kernel.py) fuses interpolation +
+        # rolling quantile in the knot domain with the whole bisection
+        # VMEM-resident — the fused lowering whose absence made the XLA
+        # knots path 2.3x slower than the dense Pallas kernel.  It becomes
+        # the auto choice once the on-chip bench confirms it beats the
+        # dense kernel at the production config.
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if stride > 1 and backend == "knots":
+    if stride > 1 and backend in ("knots", "knots_pallas"):
         return _dynamic_noise_floor_knots(
             envelope, env_m, valid, n_valid, cfg, troughs, t_pos, t_amp,
-            t_valid, cap, min_dist, window, stride)
+            t_valid, cap, min_dist, window, stride,
+            pallas=backend == "knots_pallas")
     if stride > 1 and backend == "pallas" and 128 % stride == 0:
         from ..ops.pallas.quantile_kernel import make_vmappable_rolling_quantile
 
@@ -208,7 +211,7 @@ def dynamic_noise_floor(
 
 def _dynamic_noise_floor_knots(
     envelope, env_m, valid, n_valid, cfg, troughs, t_pos, t_amp, t_valid,
-    cap, min_dist, window, stride,
+    cap, min_dist, window, stride, pallas: bool = False,
 ) -> NoiseFloorResult:
     """Strided noise floor computed entirely in the knot domain
     (ops/knot_quantile.py): the rolling quantile of the trough interpolation
@@ -228,12 +231,30 @@ def _dynamic_noise_floor_knots(
     idx = jnp.arange(n)
     min_spacing = max(min_dist, 1)
 
-    def rolling_q_knots(pos, amp, count):
-        return kq.rolling_quantile_knots(
-            pos, amp, count, n, window, ncfg.noise_floor_quantile,
-            min_periods=3, stride=stride, min_spacing=min_spacing,
-            n_valid=n_valid, chunk=cfg.runtime.quantile_chunk,
-            dtype=envelope.dtype)
+    if pallas:
+        import jax
+
+        from ..ops.pallas.knot_kernel import make_vmappable_knot_quantile
+
+        # Off-TPU the Mosaic kernel runs in interpret mode — slow but
+        # semantically identical, which keeps the backend testable on the
+        # virtual-CPU suite.
+        _pallas_q = make_vmappable_knot_quantile(
+            n, window, ncfg.noise_floor_quantile, 3, stride, min_spacing,
+            interpret=jax.default_backend() != "tpu")
+        _nv = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+
+        def rolling_q_knots(pos, amp, count):
+            return _pallas_q(pos, amp.astype(jnp.float32),
+                             jnp.asarray(count, jnp.int32),
+                             _nv).astype(envelope.dtype)
+    else:
+        def rolling_q_knots(pos, amp, count):
+            return kq.rolling_quantile_knots(
+                pos, amp, count, n, window, ncfg.noise_floor_quantile,
+                min_periods=3, stride=stride, min_spacing=min_spacing,
+                n_valid=n_valid, chunk=cfg.runtime.quantile_chunk,
+                dtype=envelope.dtype)
 
     if n_valid is None:
         def fix_tail_span(d):

@@ -49,12 +49,15 @@ def _synthetic_env(n=40_000, seed=0):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("stride", [32, 64])
-def test_knots_backend_matches_strided_xla(stride):
-    """The knot-domain quantile (ops/knot_quantile.py) computes the same
-    strided noise floor as the dense XLA path — closed-form segment counting
-    vs materialized window rank-selection — to float32 rounding, with the
-    identical sanitized trough set."""
+@pytest.mark.parametrize("stride,knots_backend", [
+    (32, "knots"), (64, "knots"), (64, "knots_pallas")])
+def test_knots_backend_matches_strided_xla(stride, knots_backend):
+    """The knot-domain quantile computes the same strided noise floor as the
+    dense XLA path — closed-form segment counting vs materialized window
+    rank-selection — to float32 rounding, with the identical sanitized
+    trough set.  Covers both lowerings: ops/knot_quantile.py (XLA) and the
+    fused VMEM-resident Pallas kernel (ops/pallas/knot_kernel.py, interpret
+    mode on CPU)."""
     env = _synthetic_env()
 
     def run(backend):
@@ -65,7 +68,7 @@ def test_knots_backend_matches_strided_xla(stride):
                 quantile_backend=backend, dtype="float32"))
         return noise_floor.dynamic_noise_floor(env, 302, cfg)
 
-    a, b = run("xla"), run("knots")
+    a, b = run("xla"), run(knots_backend)
     assert int(a.trough_count) == int(b.trough_count)
     np.testing.assert_array_equal(np.asarray(a.trough_positions),
                                   np.asarray(b.trough_positions))

@@ -130,6 +130,34 @@ def main():
 
     timed("FULL noise_floor", jax.jit(jax.vmap(full_nf)), env, ext)
 
+    # --- fused knot-domain Pallas kernel (ops/pallas/knot_kernel.py) -------
+    import dataclasses
+
+    from bpm_analysis_tpu.ops.pallas.knot_kernel import (
+        make_vmappable_knot_quantile)
+
+    kq_fn = make_vmappable_knot_quantile(
+        n, window, ncfg.noise_floor_quantile, 3, stride, max(min_dist, 1))
+
+    def knot_anchors(e, tr):
+        _, env_m = envm.edge_held(e, None)
+        slot = jnp.arange(cap)
+        t_pos = jnp.where(slot < tr.count, tr.positions, 0)
+        t_amp = env_m[t_pos]
+        return kq_fn(tr.positions, t_amp.astype(jnp.float32),
+                     jnp.asarray(tr.count, jnp.int32),
+                     jnp.asarray(n, jnp.int32))
+
+    timed("knot kernel (fused)", jax.jit(jax.vmap(knot_anchors)), env, troughs)
+
+    cfg_kp = dataclasses.replace(cfg, runtime=dataclasses.replace(
+        cfg.runtime, quantile_backend="knots_pallas"))
+
+    def full_nf_kp(e, ex):
+        return nfm.dynamic_noise_floor(e, SR, cfg_kp, extrema=ex)
+
+    timed("FULL nf knots_pallas", jax.jit(jax.vmap(full_nf_kp)), env, ext)
+
 
 if __name__ == "__main__":
     main()
