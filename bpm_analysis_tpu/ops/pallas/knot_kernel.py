@@ -8,23 +8,28 @@ bpm_analysis.py:1081-1106).  The math is ``ops/knot_quantile.py``'s
 closed-form counting over arithmetic progressions; what the Pallas lowering
 adds is VMEM residency: the XLA lowering of that file spills its
 (chunk, nseg) segment tables to HBM on every one of the 32 bisection steps,
-which measured 2.3x slower than the dense Pallas kernel — here the tables
-live in VMEM registers across the whole descent, and per anchor the work is
-O(R) table columns instead of O(window) samples (R ~ window/min_spacing + a
-few: the trough finder's distance-NMS guarantees knot spacing).
+which measured 2.3x slower than the dense Pallas kernel.
 
-Layout: anchors on SUBLANES (A per group, G groups stacked = G*A sublane
-rows), candidate knots on LANES (R_pad = 128).  Everything the descent
-touches is a (G*A, R_pad) f32 matrix or a (G*A, 1) column; the single
-orientation change — the final (G*A, 1) result column into the (1, G*A)
-output row — is one identity matmul on the MXU.
+Layout (v2): anchors on LANES (AB = 512 per program), candidate knots on
+SUBLANES (R rows, R = window/min_spacing + slack rounded to 8).  A first
+version put anchors on sublanes and candidates on lanes with A = 128
+anchors sharing one per-group candidate slice — but a group then spans
+A*stride dense positions, so its slice needs A*stride/min_spacing + ...
+candidates (256 lanes at the bench config) even though any ONE anchor's
+window only intersects ~window/min_spacing + 2 (~14) segments; the descent
+burned 16x more VPU work than the windows required, measuring 144 ms/call
+vs 113 ms for dense interpolate+rolling.  Per-anchor tables make the
+working set exactly the segments each window can see: every descent op is
+(R, AB) with R ~ 16, and the bisection state is a (1, AB) register row.
 
 The segment tables (p0, v0, p1, v1 per candidate slot) are gathered once in
-XLA (sorted-knot slices per anchor group, found with one searchsorted) —
-~R_pad/stride times fewer gathered elements than the dense interpolation
-they replace — and streamed to the kernel through the BlockSpec pipeline.
+XLA (one searchsorted per anchor finds the straddling knot) and streamed to
+the kernel through the BlockSpec pipeline; the gather volume is
+n_anchor * R * 4 tables ~ 4x the dense series length at stride 64 — but it
+replaces BOTH the dense interpolation materialization and the rolling
+kernel's window reads.
 
-Values must be non-positive-NaN floats; knots are envelope amplitudes
+Values must be non-NaN floats; knots are envelope amplitudes
 (non-negative), and the bit-prefix descent uses the full sortable-key
 mapping (sign-flip trick), so negatives would work too.  Positions up to
 2^24 stay exact in the f32 table math (10-min recordings are ~181k).
@@ -41,59 +46,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..rolling import centered_bounds
 
-A = 128          # anchors per group (one lane-width of output)
-LANE = 128
-# In-kernel stand-in for NaN (see the permutation-matmul note in _kernel);
-# far below any envelope amplitude, decoded back to NaN by the caller.
+AB = 512         # anchors per program (lanes; 4 lane-tiles)
+# In-kernel stand-in for NaN (min_periods misses); far below any envelope
+# amplitude, decoded back to NaN by the caller.  Keeping NaN out of the
+# kernel's result row costs nothing and keeps the final store a plain copy.
 _NAN_SENTINEL = -3.0e38
 
 
-def _plan(window: int, stride: int, min_spacing: int):
-    """(G, R_pad): groups stacked per program and candidate-knot slots per
-    group.  R bounds the knots whose segments can intersect any window of a
-    group's A anchors: the group spans A*stride dense positions plus the
-    window extent, over knots >= min_spacing apart, plus the straddling knot
-    on each side and the final constant-extension segment."""
-    span = A * stride + window
-    r = span // max(min_spacing, 1) + 4
-    r_pad = -(-r // LANE) * LANE
-    # Stack groups until the working set is ~a few hundred KB of VMEM
-    # (each live (G*A, R_pad) matrix is G*A*R_pad*4 bytes; ~8 live).
-    g = max(1, min(4, (2 << 20) // (A * r_pad * 4 * 8)))
-    return g, r_pad
+def _plan(window: int, min_spacing: int) -> int:
+    """Candidate rows per anchor: the window spans ``window + 1`` dense
+    positions over knots >= min_spacing apart, plus the straddling knot on
+    each side and the constant-extension segment; rounded to the f32
+    sublane tile (8)."""
+    r = window // max(min_spacing, 1) + 4
+    return -(-r // 8) * 8
 
 
 def _kernel(p0_ref, v0_ref, p1_ref, v1_ref, out_ref, *,
-            n: int, window: int, stride: int, q: float, min_periods: int,
-            g_groups: int, r_pad: int):
+            n: int, window: int, stride: int, q: float, min_periods: int):
     left, right = centered_bounds(window)
-    ga = g_groups * A
     blk = pl.program_id(1)
+    p0 = p0_ref[0, 0]                                       # (R, AB)
+    v0 = v0_ref[0, 0]
+    p1 = p1_ref[0, 0]
+    v1 = v1_ref[0, 0]
 
-    def rep(ref):
-        # TILE semantics (concatenate A copies): row r of the result holds
-        # group r % G's table.  Rows are therefore processed in tile order —
-        # row r computes anchor a(r) = (r % G)*A + r//G — and the final
-        # matmul permutes them back to consecutive-anchor order.
-        return pltpu.repeat(ref[0, 0], repeats=A, axis=0)   # (G, R) -> (G*A, R)
-
-    p0 = rep(p0_ref)
-    v0 = rep(v0_ref)
-    p1 = rep(p1_ref)
-    v1 = rep(v1_ref)
-
-    # Row r's anchor within the block (tile order, see rep()).
-    row_i = lax.broadcasted_iota(jnp.int32, (ga, 1), 0)
-    a_local = (row_i % g_groups) * A + row_i // g_groups
-    apos = jnp.minimum((blk * ga + a_local).astype(jnp.float32) * stride,
-                       float(n - 1))
+    # Mosaic's iota is integer-only; convert after.
+    lane = lax.broadcasted_iota(jnp.int32, (1, AB), 1).astype(jnp.float32)
+    # blk*AB + lane <= n_anchor < 2^24: exact in f32, as is * stride.
+    apos = jnp.minimum((jnp.float32(blk * AB) + lane) * stride,
+                       jnp.float32(n - 1))
     w_lo = jnp.maximum(apos - left, 0.0)
     # The valid horizon (n_valid) is folded into the p0/p1 tables by the
     # caller (segments are clamped to it), so the window's right edge needs
     # no per-row cap here.
     w_hi = apos + right + 1.0
 
-    s = jnp.maximum(p0, w_lo)
+    s = jnp.maximum(p0, w_lo)                               # (R, AB)
     e = jnp.minimum(p1, w_hi)
     ln = jnp.maximum(e - s, 0.0)
     dv = v1 - v0
@@ -102,7 +91,7 @@ def _kernel(p0_ref, v0_ref, p1_ref, v1_ref, out_ref, *,
     inv = denom / safe_dv                                   # rel slope^-1
     slope = dv / denom                                      # y'(i)
 
-    cnt = jnp.sum(ln, axis=1, keepdims=True)
+    cnt = jnp.sum(ln, axis=0, keepdims=True)                # (1, AB)
     p = jnp.float32(q) * jnp.maximum(cnt - 1.0, 0.0)
     k_lo = jnp.floor(p)
     frac = p - k_lo
@@ -116,7 +105,7 @@ def _kernel(p0_ref, v0_ref, p1_ref, v1_ref, out_ref, *,
         down = jnp.clip(e - jnp.maximum(jnp.ceil(rel) + p0, s), 0.0, ln)
         const = jnp.where(v0 <= v, ln, 0.0)
         per = jnp.where(dv > 0, up, jnp.where(dv < 0, down, const))
-        return jnp.sum(per, axis=1, keepdims=True)
+        return jnp.sum(per, axis=0, keepdims=True)
 
     def key_to_float(u):
         sign = jnp.uint32(0x80000000)
@@ -132,7 +121,7 @@ def _kernel(p0_ref, v0_ref, p1_ref, v1_ref, out_ref, *,
         c = cnt_le(key_to_float(probe))
         return jnp.where(c >= target, prefix, prefix | bit).astype(jnp.uint32)
 
-    prefix0 = jnp.zeros((ga, 1), jnp.uint32)
+    prefix0 = jnp.zeros((1, AB), jnp.uint32)
     key_lo = lax.fori_loop(0, 32, bit_step, prefix0)
     v_lo = key_to_float(key_lo)
 
@@ -150,27 +139,13 @@ def _kernel(p0_ref, v0_ref, p1_ref, v1_ref, out_ref, *,
     cand_const = jnp.where(v0 > v_lo, v0, inf)
     cand = jnp.where(dv > 0, cand_up, jnp.where(dv < 0, cand_dn, cand_const))
     cand = jnp.where((ln > 0) & (cand > v_lo), cand, inf)
-    nxt = jnp.min(cand, axis=1, keepdims=True)
+    nxt = jnp.min(cand, axis=0, keepdims=True)              # (1, AB)
 
     v_hi = jnp.where(cnt_le(v_lo) >= target + 1.0, v_lo,
                      jnp.where(jnp.isfinite(nxt), nxt, v_lo))
     res = jnp.where(frac > 0, v_lo + frac * (v_hi - v_lo), v_lo)
-    # min_periods misses become a finite sentinel, NOT NaN: the permutation
-    # matmul below computes sum_r res[r]*perm[r,j], and a single NaN row
-    # would poison every column (NaN*0 == NaN).  Decoded to NaN by the
-    # caller after the kernel.
     res = jnp.where(cnt >= min_periods, res, _NAN_SENTINEL)
-
-    # (G*A, 1) column -> (1, G*A) output row: one permutation matmul (MXU)
-    # that also undoes the tile-order row layout (row r holds anchor
-    # (r % G)*A + r//G; output column j must be anchor j).
-    i_iota = lax.broadcasted_iota(jnp.int32, (ga, ga), 0)
-    j_iota = lax.broadcasted_iota(jnp.int32, (ga, ga), 1)
-    a_of_row = (i_iota % g_groups) * A + i_iota // g_groups
-    perm = (a_of_row == j_iota).astype(jnp.float32)
-    out_ref[0, 0, 0, :] = lax.dot_general(
-        res, perm, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)[0]
+    out_ref[0, 0, 0, :] = res[0]
 
 
 def knot_quantile_anchors_pallas(
@@ -192,11 +167,10 @@ def knot_quantile_anchors_pallas(
     ``rolling(window, min_periods, center=True).quantile(q)``), batched.
     Returns (B, ceil(n / stride)) float32."""
     B, cap = knot_pos.shape
-    g_groups, r_pad = _plan(window, stride, min_spacing)
+    r_rows = _plan(window, min_spacing)
     n_anchor = -(-n // stride)
-    ga = g_groups * A
-    n_blocks = -(-n_anchor // ga)
-    n_groups = n_blocks * g_groups
+    n_blocks = -(-n_anchor // AB)
+    n_pad = n_blocks * AB
     left, _ = centered_bounds(window)
 
     slot = jnp.arange(cap)
@@ -216,22 +190,17 @@ def knot_quantile_anchors_pallas(
     p1_row = jnp.where(has_next, pos_next, hi_cap[:, None])
     v1_row = jnp.where(has_next, val_next, val)
 
-    # Per-group candidate slices: R_pad knots from the last knot at or before
-    # the group's first window start (one searchsorted per group).
-    grp_w_lo = jnp.maximum(
-        jnp.arange(n_groups, dtype=jnp.int32) * (A * stride) - left, 0
+    # Per-anchor candidate slices: r_rows knots from the last knot at or
+    # before the anchor's window start (one searchsorted per anchor).
+    anchor_w_lo = jnp.maximum(
+        jnp.arange(n_pad, dtype=jnp.int32) * stride - left, 0
     ).astype(jnp.float32)
     base = jax.vmap(
-        lambda ps: jnp.searchsorted(ps, grp_w_lo, side="right"))(pos_sorted)
-    base = jnp.maximum(base.astype(jnp.int32) - 1, 0)        # (B, n_groups)
-    gidx = base[:, :, None] + jnp.arange(r_pad, dtype=jnp.int32)[None, None, :]
+        lambda ps: jnp.searchsorted(ps, anchor_w_lo, side="right"))(pos_sorted)
+    base = jnp.maximum(base.astype(jnp.int32) - 1, 0)        # (B, n_pad)
+    gidx = base[:, :, None] + jnp.arange(r_rows, dtype=jnp.int32)[None, None, :]
     in_cap = gidx < cap
     gc = jnp.minimum(gidx, cap - 1).reshape(B, -1)
-
-    def table(row_tbl, sentinel):
-        t = jnp.take_along_axis(row_tbl, gc, axis=1).reshape(B, n_groups, r_pad)
-        return jnp.where(in_cap, t, sentinel).reshape(
-            B, n_blocks, g_groups, r_pad)
 
     # Fold the per-row valid horizon into the segment tables (clamping both
     # endpoints makes out-of-horizon and padding segments zero-length), so
@@ -241,31 +210,39 @@ def knot_quantile_anchors_pallas(
     # every knot is < n_valid, and the only segment reaching hi is the
     # dv == 0 constant extension (clamping p1 there changes length, not
     # slope).
-    hi4 = hi_cap[:, None, None, None]
-    p0_t = jnp.minimum(table(pos_sorted, jnp.float32(n)), hi4)
-    v0_t = table(val, 0.0)
-    p1_t = jnp.minimum(table(p1_row, jnp.float32(n)), hi4)
-    v1_t = table(v1_row, 0.0)
+    def table(row_tbl, sentinel, clamp_hi: bool):
+        t = jnp.take_along_axis(row_tbl, gc, axis=1)
+        t = jnp.where(in_cap.reshape(B, -1), t, sentinel)
+        if clamp_hi:
+            t = jnp.minimum(t, hi_cap[:, None])
+        # (B, n_pad, R) -> (B, n_blocks, R, AB): candidates to sublanes,
+        # anchors to lanes.
+        return t.reshape(B, n_blocks, AB, r_rows).transpose(0, 1, 3, 2)
+
+    p0_t = table(pos_sorted, jnp.float32(n), True)
+    v0_t = table(val, 0.0, False)
+    p1_t = table(p1_row, jnp.float32(n), True)
+    v1_t = table(v1_row, 0.0, False)
 
     kernel = functools.partial(
         _kernel, n=n, window=window, stride=stride, q=q,
-        min_periods=min_periods, g_groups=g_groups, r_pad=r_pad)
+        min_periods=min_periods)
 
-    tbl_spec = pl.BlockSpec((1, 1, g_groups, r_pad), lambda b, j: (b, j, 0, 0),
+    tbl_spec = pl.BlockSpec((1, 1, r_rows, AB), lambda b, j: (b, j, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(B, n_blocks),
         in_specs=[tbl_spec, tbl_spec, tbl_spec, tbl_spec],
-        # 4-D so the block's last two dims EQUAL the array's (1, ga) — the
+        # 4-D so the block's last two dims EQUAL the array's (1, AB) — the
         # Mosaic lowering requires (8,128)-divisible or full-dim blocks.
-        out_specs=pl.BlockSpec((1, 1, 1, ga), lambda b, j: (b, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, AB), lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_blocks, 1, ga), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_blocks, 1, AB), jnp.float32),
         interpret=interpret,
     )(p0_t, v0_t, p1_t, v1_t)
 
-    anchors = out.reshape(B, n_blocks * ga)[:, :n_anchor]
+    anchors = out.reshape(B, n_blocks * AB)[:, :n_anchor]
     anchors = jnp.where(anchors <= _NAN_SENTINEL / 2, jnp.nan, anchors)
     return jnp.where(count[:, None] > 0, anchors, jnp.nan)
 
