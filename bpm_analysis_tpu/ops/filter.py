@@ -257,14 +257,26 @@ def fir_decimate(x: jnp.ndarray, factor: int, taps_per_phase: int = 8) -> jnp.nd
     h = np.sinc(cutoff * t) * cutoff
     h *= np.hanning(n_taps)
     h /= h.sum()
-    kernel = jnp.asarray(h, x.dtype)
 
+    # Polyphase matmul instead of a strided conv_general_dilated: under vmap
+    # a [B, 1, N] single-channel conv makes XLA lay the batch dim on lanes
+    # (T(1,128) tiling pads B -> 128, a 32x HBM blow-up that OOMs native-rate
+    # fleets).  Splitting the tap index k = j*factor + p turns the strided
+    # conv into one [M, factor] @ [factor, J] matmul (reads x once, MXU) plus
+    # J shifted column adds on the decimated grid:
+    #   y[m] = sum_k h[k] * xp[m*factor + k] = sum_j Y[m + j, j],
+    #   Y = X @ Hp,  X[m, p] = xp[m*factor + p],  Hp[p, j] = h[j*factor + p].
     n = x.shape[0]
     out_len = -(-n // factor)
-    xp = jnp.pad(x, (half, half + factor * out_len - n + half))
-    res = lax.conv_general_dilated(
-        xp[None, None, :], kernel[None, None, :],
-        window_strides=(factor,), padding="VALID",
-        precision=lax.Precision.HIGHEST,
-    )[0, 0]
-    return res[:out_len]
+    n_phases = -(-n_taps // factor)  # J
+    hp = np.zeros((n_phases, factor), dtype=h.dtype)
+    hp.flat[:n_taps] = h
+    m_rows = out_len + n_phases - 1
+    xp = jnp.pad(x, (half, m_rows * factor - n - half))
+    y2 = jnp.matmul(xp.reshape(m_rows, factor),
+                    jnp.asarray(hp.T, x.dtype),
+                    precision=lax.Precision.HIGHEST)
+    res = y2[0:out_len, 0]
+    for j in range(1, n_phases):
+        res = res + y2[j:j + out_len, j]
+    return res

@@ -22,6 +22,33 @@ def test_fir_decimate_passband_and_alias_rejection():
     assert np.std(bare[len(bare) // 4: -len(bare) // 4]) > 0.5
 
 
+def test_fir_decimate_matches_direct_convolution():
+    """Polyphase-matmul formulation == the direct strided windowed-sinc
+    convolution it replaces (float64 numpy oracle, built from the same tap
+    recipe), for several (n, factor) shapes incl. n not a multiple of factor.
+    """
+    rng = np.random.RandomState(7)
+    for n, factor, tpp in [(1000, 7, 8), (4096, 16, 8), (5001, 44, 8),
+                           (300, 146, 4)]:
+        x = rng.randn(n)
+        half = tpp * factor // 2
+        n_taps = 2 * half + 1
+        t = np.arange(n_taps) - half
+        cutoff = 0.9 / factor
+        h = np.sinc(cutoff * t) * cutoff
+        h *= np.hanning(n_taps)
+        h /= h.sum()
+        out_len = -(-n // factor)
+        xp = np.pad(x, (half, half + factor * out_len - n + half))
+        oracle = np.asarray(
+            [np.dot(h, xp[m * factor: m * factor + n_taps])
+             for m in range(out_len)])
+        got = np.asarray(flt.fir_decimate(jnp.asarray(x), factor,
+                                          taps_per_phase=tpp))
+        assert got.shape == oracle.shape
+        np.testing.assert_allclose(got, oracle, rtol=0, atol=1e-5)
+
+
 def test_fir_decimate_identity_factor_1():
     x = jnp.asarray(np.random.RandomState(0).randn(100))
     np.testing.assert_array_equal(np.asarray(flt.fir_decimate(x, 1)), np.asarray(x))
