@@ -123,13 +123,19 @@ def run_fleet(paths, cfg, fleet, tag, truths, oracle=None,
     results, errors = host_batch.analyze_files_batched(
         paths, cfg, outdir, max_batch=batch, render=False, lane_stats=lanes)
     elapsed = time.time() - t0
-    if errors:
-        raise RuntimeError(f"{tag}: per-file errors {errors[:3]}")
 
     rate = NATIVE_SR // envm.safe_downsample_factor(NATIVE_SR, cfg)
     f1s, maes, stats = [], [], []
+    n_failed = 0
     for seed, path in enumerate(paths):
-        res = results[path]
+        res = results.get(path)
+        if res is None:
+            # Per-file failure (e.g. capacity overflow that survived the
+            # auto-retry) — itself a data point for the hostile fleet.
+            n_failed += 1
+            stats.append({"median_offset_ms": None,
+                          "recall50": 0.0, "recall75": 0.0})
+            continue
         beats = np.asarray(res.final_positions)[: int(res.final_count)] / rate
         stats.append(truth_stats(beats, truths[seed]))
         if oracle is not None:
@@ -139,13 +145,17 @@ def run_fleet(paths, cfg, fleet, tag, truths, oracle=None,
             maes.append(bpm_mae(o["bpm_times"], o["bpm_values"],
                                 np.asarray(res.metrics.bpm.times)[:k],
                                 np.asarray(res.metrics.bpm.smoothed)[:k]))
+    offsets = [s["median_offset_ms"] for s in stats
+               if s["median_offset_ms"] is not None]
     row = {
         "fleet": fleet,
         "path": tag,
         "audio_min_per_sec": round(len(paths) * MINUTES / elapsed, 2),
         "n_files": len(paths),
-        "truth_median_offset_ms": round(float(np.median(
-            [s["median_offset_ms"] for s in stats])), 1),
+        "n_failed": n_failed,
+        "errors": [str(e)[:120] for e in errors[:3]],
+        "truth_median_offset_ms": (round(float(np.median(offsets)), 1)
+                                   if offsets else None),
         "truth_worst_recall50": min(s["recall50"] for s in stats),
         "truth_mean_recall50": round(float(np.mean(
             [s["recall50"] for s in stats])), 4),
@@ -153,7 +163,7 @@ def run_fleet(paths, cfg, fleet, tag, truths, oracle=None,
             [s["recall75"] for s in stats])), 4),
         "lanes": {k: round(v, 2) for k, v in sorted(lanes.items())},
     }
-    if oracle is not None:
+    if oracle is not None and f1s:
         row["oracle_worst_beat_f1"] = round(float(min(f1s)), 4)
         row["oracle_worst_bpm_mae"] = round(float(max(maes)), 4)
     print(json.dumps(row), flush=True)
@@ -178,17 +188,30 @@ def main():
         base, compat=dataclasses.replace(base.compat,
                                          antialias_decimation=True))
 
+    # The folded tone floods the compat path's envelope with spurious peaks
+    # (that's the failure being demonstrated); give the hostile fleet 4x
+    # capacities so it can run to completion instead of overflowing.
+    # Capacities are padding only — they never change results.
+    oob_base = _bench_cfg(64, "auto", candidates=12288, work_factor=8,
+                          prom_factor=4.0, extrema_capacity=131072)
+    oob_aa = dataclasses.replace(
+        oob_base, compat=dataclasses.replace(oob_base.compat,
+                                             antialias_decimation=True))
+
     rows = [
         run_fleet(clean, base, "clean", "compat", truths, oracle=oracle),
         run_fleet(clean, aa_cfg, "clean", "antialias", truths, batch=4),
-        run_fleet(oob, base, "oob_1khz", "compat", truths),
-        run_fleet(oob, aa_cfg, "oob_1khz", "antialias", truths, batch=4),
+        run_fleet(oob, oob_base, "oob_1khz", "compat", truths, batch=16),
+        run_fleet(oob, oob_aa, "oob_1khz", "antialias", truths, batch=4),
     ]
     out = {"rows": rows, "n_files": N_FILES,
            "oob_tone": {"hz": OOB_TONE_HZ, "amp": OOB_TONE_AMP},
            "note": ("antialias rate is H2D-bound on the tunneled bench "
                     "link (ships full 44.1 kHz int16); a direct-attached "
-                    "host would not be")}
+                    "host would not be.  n_failed counts files whose "
+                    "analysis returned ok=False (<2 final beats) — on the "
+                    "oob fleet the folded tone swamps the compat path's "
+                    "noise floor and NO beats survive")}
     with open(os.path.join(REPO, "ANTIALIAS_r04.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"comparison": {
