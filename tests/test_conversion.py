@@ -142,10 +142,13 @@ def test_prepare_wavs_isolates_conversion_failures(fake_ffmpeg, tmp_path):
     assert len(errors) == 1 and errors[0][0] == str(bad)
 
 
+@pytest.mark.slow
 def test_batched_fleet_with_conversion_failure(fake_ffmpeg, tmp_path):
     """End-to-end batched run over a mixed fleet with one unconvertible
     file: the good files produce results, the bad one lands on the error
-    roster only."""
+    roster only.  Slow tier: this is the only test that would compile the
+    batched program in the fast tier (the roster logic itself is covered
+    fast by test_prepare_wavs_isolates_conversion_failures)."""
     good = tmp_path / "g.mp3"
     bad = tmp_path / "bad.mp3"
     _synthetic_mp3(good)
@@ -162,6 +165,12 @@ def test_cli_converts_non_wav(fake_ffmpeg, tmp_path, monkeypatch, capsys):
     """CLI front-end conversion flow (apps/cli.py -> analyze_any_file); the
     webapp's process_audio_batch shares the same analyze_any_file body."""
     from bpm_analysis_tpu.apps import cli
+
+    # Small capacities so the compiled program is the one the other
+    # conversion/host tests already built (DEFAULT_CONFIG's full-size caps
+    # would add the fast tier's single heaviest XLA:CPU compile for no
+    # extra coverage — the CLI flow under test is identical).
+    monkeypatch.setattr(cli, "DEFAULT_CONFIG", SMALL_CFG)
 
     src = tmp_path / "take.mp3"
     _synthetic_mp3(src)
