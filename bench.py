@@ -285,6 +285,12 @@ def bpm_mae(ref_times, ref_values, times, values) -> float:
     return float(np.mean(np.abs(np.interp(ref_times, times, values) - ref_values)))
 
 
+class AccuracyRegression(RuntimeError):
+    """North-star accuracy gate failure — must fail the bench loudly
+    (a bare assert would vanish under ``python -O`` and an empty seed
+    overlap would raise ValueError into main()'s generic handler)."""
+
+
 def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
     """Worst-case accuracy across seeds: min F1, max MAE."""
     f1s, maes = [], []
@@ -294,13 +300,19 @@ def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
         beats, times, values = tpu_curves[int(seed)]
         f1s.append(beat_f1(beats, oracle["beat_times"]))
         maes.append(bpm_mae(oracle["bpm_times"], oracle["bpm_values"], times, values))
+    if not f1s:
+        raise AccuracyRegression(
+            "accuracy gate could not run: the oracle cache and the measured "
+            "curves share no seeds — the gate would silently vanish")
     rows = {"beat_f1_vs_cpu_reference": round(float(min(f1s)), 4),
             "bpm_mae_vs_cpu_reference": round(float(max(maes)), 4),
             "accuracy_seeds": len(f1s)}
-    assert rows["beat_f1_vs_cpu_reference"] >= F1_FLOOR, \
-        f"worst-case beat F1 {rows['beat_f1_vs_cpu_reference']} < {F1_FLOOR}"
-    assert rows["bpm_mae_vs_cpu_reference"] < MAE_CEIL, \
-        f"worst-case BPM MAE {rows['bpm_mae_vs_cpu_reference']} >= {MAE_CEIL}"
+    if rows["beat_f1_vs_cpu_reference"] < F1_FLOOR:
+        raise AccuracyRegression(
+            f"worst-case beat F1 {rows['beat_f1_vs_cpu_reference']} < {F1_FLOOR}")
+    if not rows["bpm_mae_vs_cpu_reference"] < MAE_CEIL:
+        raise AccuracyRegression(
+            f"worst-case BPM MAE {rows['bpm_mae_vs_cpu_reference']} >= {MAE_CEIL}")
     return rows
 
 
@@ -467,19 +479,27 @@ def measure_native_render(native_paths: list, backend: str, stride: int,
                      prom_factor=2.0, extrema_capacity=32768)
     paths = native_paths[:n_files]
     outdir = os.path.dirname(paths[0])
+    # Chunks of batch//2: a single n_files-chunk would have nothing to
+    # overlap, so D2H + render of chunk k ride under chunk k+1's compute on
+    # the fetch thread (same pipelining the render-free e2e bench uses).
+    lanes = {}
     t0 = time.time()
     results, errors = host_batch.analyze_files_batched(
-        paths, cfg, outdir, max_batch=batch, render=True)
+        paths, cfg, outdir, max_batch=max(batch // 2, 1), render=True,
+        lane_stats=lanes)
     elapsed = time.time() - t0
     if errors:
         raise RuntimeError(f"render bench had per-file errors: {errors[:3]}")
     assert all(results[p] is not None for p in paths)
+    lanes = {k: round(v, 3) for k, v in sorted(lanes.items())}
+    lanes["wall"] = round(elapsed, 3)
     return {"value": round(n_files * MINUTES / elapsed, 2),
             "unit": "audio-min/sec/chip",
-            "includes": "decode + compute + full-pytree D2H + all per-file "
+            "includes": "decode + compute + artifact D2H + all per-file "
                         "artifacts (CSV, summary, debug log, plot, filtered "
                         "WAV)",
-            "n_files": n_files}
+            "n_files": n_files,
+            "lanes": lanes}
 
 
 def main():
@@ -512,7 +532,7 @@ def main():
         cpu_data = measure_cpu_reference()
         cpu = cpu_data["audio_min_per_sec"]
         acc = _accuracy_rows(cpu_data["per_seed"], curves)
-    except AssertionError:
+    except (AssertionError, AccuracyRegression):
         raise  # north-star accuracy regression must fail the bench
     except Exception:
         cpu, acc = None, {}
@@ -546,7 +566,7 @@ def main():
             }
             out["artifacts_on_rate"] = measure_native_render(
                 native_paths, args.backend, args.stride)
-        except AssertionError:
+        except (AssertionError, AccuracyRegression):
             raise
         except Exception as e:
             out["end_to_end_native_rate"] = {"error": str(e)[:200]}

@@ -218,9 +218,14 @@ def analyze_files_batched(
     # (~146x for 44.1 kHz input: 2 GB -> 16 MB per 16-file chunk), which is
     # THE bottleneck on tunneled devices; the device program then runs at
     # the post-decimation rate (its clamp resolves to factor 1).  The
-    # anti-aliased north-star path filters at the native rate and must ship
-    # the full signal.
+    # anti-aliased path used to ship the full native-rate signal (measured
+    # 5 vs 156 audio-min/s, H2D-bound — ANTIALIAS_r04); it now runs the SAME
+    # windowed-sinc FIR inside the native decoder's streaming loop
+    # (wav_decoder.cpp:decode_one_fir — float32 taps identical to
+    # ops/filter.fir_decimate), so both paths stage ~180k samples/file and
+    # the device program starts at the decimated rate either way.
     host_decimate = not pre_filtered and not cfg.compat.antialias_decimation
+    host_fir = not pre_filtered and cfg.compat.antialias_decimation
 
     # --- probe + bucket ------------------------------------------------------
     groups: Dict[Tuple[int, int], List[int]] = {}
@@ -242,24 +247,28 @@ def analyze_files_batched(
                     raise ValueError(
                         f"decimated length {n_dec} must exceed filter padlen "
                         f"{padlen} (recording too short at rate {sr})")
-            host_factor = factor if host_decimate and factor > 1 else 1
+            host_factor = factor if (host_decimate or host_fir) \
+                and factor > 1 else 1
             if host_factor > 1 and envm.safe_downsample_factor(
                     sr // factor, cfg) > 1:
                 # Ultra-high source rate whose post rate would be decimated
                 # AGAIN by the device program's own clamp — ship the native
                 # signal and let the device decimate once, as serial does.
                 host_factor = 1
+            fir = bool(host_fir and host_factor > 1)
             # Mono PCM16 sources stage as raw int16 (half the H2D bytes;
             # the device casts to float, exactly).  The flag is part of the
-            # group key so a chunk's staging buffer has one dtype.
-            i16 = bool(audio_fmt == 1 and bits == 16 and channels == 1)
-            meta.append((sr, nframes, host_factor, i16))
+            # group key so a chunk's staging buffer has one dtype.  FIR
+            # decode emits filtered floats, so it never stages int16.
+            i16 = bool(audio_fmt == 1 and bits == 16 and channels == 1
+                       and not fir)
+            meta.append((sr, nframes, host_factor, i16, fir))
             if host_factor > 1:
                 # Program key: post-decimation rate + decimated bucket (files
                 # of different native rates can share one compiled program).
-                key = (sr // factor, length_bucket(n_dec, min_bucket), i16)
+                key = (sr // factor, length_bucket(n_dec, min_bucket), i16, fir)
             else:
-                key = (sr, length_bucket(nframes, min_bucket), i16)
+                key = (sr, length_bucket(nframes, min_bucket), i16, fir)
             groups.setdefault(key, []).append(i)
         except Exception as e:
             meta.append(None)
@@ -271,13 +280,14 @@ def analyze_files_batched(
         dp = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
     # --- chunk work list -----------------------------------------------------
-    chunks: List[Tuple[int, int, bool, List[int]]] = []
-    for (sr, bucket_len, i16), idxs in sorted(groups.items()):
+    chunks: List[Tuple[int, int, bool, bool, List[int]]] = []
+    for (sr, bucket_len, i16, fir), idxs in sorted(groups.items()):
         for chunk_start in range(0, len(idxs), max_batch):
-            chunks.append((sr, bucket_len, i16,
+            chunks.append((sr, bucket_len, i16, fir,
                            idxs[chunk_start:chunk_start + max_batch]))
 
-    def decode_chunk(sr: int, bucket_len: int, i16: bool, chunk: List[int]):
+    def decode_chunk(sr: int, bucket_len: int, i16: bool, fir: bool,
+                     chunk: List[int]):
         """Decode + pad one chunk into a host staging buffer.  Runs on the
         decode thread, overlapping the H2D transfer of the PREVIOUS chunk
         (h2d_chunk below releases the GIL during the DMA wait, and the C++
@@ -292,14 +302,21 @@ def analyze_files_batched(
             b = -(-b // dp) * dp
         wav_paths = [pairs[i][0] for i in chunk]
         # Strided decode straight into the staging buffer: the decoder emits
-        # only every host_factor-th frame (the compat decimation slice), so
-        # for 44.1 kHz sources it writes ~180k samples/file instead of
-        # converting all 26M (and the skipped frames are never converted).
-        decode = native.decode_batch_i16 if i16 else native.decode_batch_f32
+        # only every host_factor-th frame (the compat decimation slice) or,
+        # on the antialias path, the FIR-decimated samples — so for 44.1 kHz
+        # sources it writes ~180k samples/file instead of converting all 26M
+        # (and on the stride path the skipped frames are never converted).
         audio = np.zeros((b, bucket_len), np.int16 if i16 else np.float32)
-        _, rates, lengths = decode(
-            wav_paths, bucket_len, strides=[meta[i][2] for i in chunk],
-            out=audio)
+        if fir:
+            _, rates, lengths = native.decode_batch_fir(
+                wav_paths, bucket_len, factors=[meta[i][2] for i in chunk],
+                out=audio)
+        else:
+            decode = (native.decode_batch_i16 if i16
+                      else native.decode_batch_f32)
+            _, rates, lengths = decode(
+                wav_paths, bucket_len, strides=[meta[i][2] for i in chunk],
+                out=audio)
         ok_rows = []
         for row, i in enumerate(chunk):
             if lengths[row] <= 0:
@@ -477,9 +494,18 @@ def analyze_files_batched(
     if chunks:
         from collections import deque
 
+        def _staged_rows(n_rows: int) -> int:
+            # decode_chunk pads the batch up to the mesh dp size, so the
+            # staged buffer can be larger than batch_bucket alone implies —
+            # the look-ahead byte bound must see the same rounding.
+            b = batch_bucket(n_rows, max_batch)
+            if mesh is not None:
+                b = -(-max(b, dp) // dp) * dp
+            return b
+
         max_chunk_bytes = max(
-            batch_bucket(len(c), max_batch) * bl * (2 if i16 else 4)
-            for (_, bl, i16, c) in chunks)
+            _staged_rows(len(c)) * bl * (2 if i16 else 4)
+            for (_, bl, i16, _fir, c) in chunks)
         lookahead = max(1, min(3, int((256 << 20) // max(max_chunk_bytes, 1))))
         with ThreadPoolExecutor(max_workers=1) as decode_pool, \
                 ThreadPoolExecutor(max_workers=1) as h2d_pool, \

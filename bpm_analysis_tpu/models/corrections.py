@@ -233,6 +233,13 @@ def _fix_iteration(
     # a promotion in gap g lands immediately after pos[g], so its merged
     # slot is g + (promotions in gaps <= g), and pos[i] shifts right by the
     # promotions in gaps < i.  One cumsum over gaps + two slot scatters.
+    # INVARIANT PRODUCER SITE: ``prom_pos`` comes from ``cand_pos`` — raw
+    # peak positions — so every merged position remains a member of the
+    # NMS-spaced raw peak set (min spacing >= the peak-finder distance).
+    # ``analytics._bpm_series``'s gather-free smoothing window RELIES on
+    # this bound; never write an interpolated/synthesized position here
+    # (tests/test_corrections.py::test_final_positions_subset_of_raw_peaks
+    # enforces it).
     promoted_gap = promoted_gap0
     prom_csum = jnp.cumsum(promoted_gap.astype(jnp.int32))  # promotions <= g
     prom_before = jnp.concatenate([jnp.zeros((1,), jnp.int32), prom_csum[:-1]])

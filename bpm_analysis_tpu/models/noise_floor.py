@@ -111,11 +111,14 @@ def dynamic_noise_floor(
 
         # knots_pallas (ops/pallas/knot_kernel.py) fuses interpolation +
         # rolling quantile in the knot domain with the whole bisection
-        # VMEM-resident — the fused lowering whose absence made the XLA
-        # knots path 2.3x slower than the dense Pallas kernel.  It becomes
-        # the auto choice once the on-chip bench confirms it beats the
-        # dense kernel at the production config.
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # VMEM-resident AND builds the per-anchor segment tables in-kernel
+        # (the v2 XLA-side gather cost ~500 ms/batch and kept the backend
+        # opt-in through round 4).  Measured at the bench config
+        # (B=128, n=181200, stride 64): fused kernel 30.9 ms/call vs the
+        # dense interpolate+rolling path's 112.6 ms; full noise floor
+        # 452.5 -> 252.7 ms (tools/profile_noise_floor.py, round 5).
+        backend = ("knots_pallas" if jax.default_backend() == "tpu"
+                   else "xla")
     if stride > 1 and backend in ("knots", "knots_pallas"):
         return _dynamic_noise_floor_knots(
             envelope, env_m, valid, n_valid, cfg, troughs, t_pos, t_amp,
@@ -236,6 +239,19 @@ def _dynamic_noise_floor_knots(
 
         from ..ops.pallas.knot_kernel import make_vmappable_knot_quantile
 
+        # f32-only contract: the Mosaic kernel computes in float32 regardless
+        # of cfg dtype (amplitudes are cast going in, anchors cast back going
+        # out) — a float64 run silently loses precision on this backend,
+        # unlike the XLA knots path which honors the envelope dtype.  float64
+        # parity drives must use backend="knots"/"xla" (they already must:
+        # X64 doesn't lower on the TPU path at all).
+        if envelope.dtype == jnp.float64:
+            import warnings
+
+            warnings.warn(
+                "quantile_backend='knots_pallas' computes in float32; "
+                "float64 envelope precision is reduced. Use 'knots' for "
+                "float64-exact noise floors.", stacklevel=3)
         # Off-TPU the Mosaic kernel runs in interpret mode — slow but
         # semantically identical, which keeps the backend testable on the
         # virtual-CPU suite.

@@ -75,8 +75,9 @@ def pytest_runtestloop(session):
     config = session.config
     markexpr = getattr(config.option, "markexpr", "") or ""
     if (os.environ.get("_BPM_SLOW_TIER_INNER")
+            or getattr(config.option, "collectonly", False)
             or "slow" not in markexpr or "not slow" in markexpr):
-        return None  # default in-process loop
+        return None  # default in-process loop (collect-only must not fork)
 
     files = []
     for item in session.items:

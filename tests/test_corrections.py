@@ -68,3 +68,38 @@ def test_rhythm_correction_replacement():
     )
     kept = np.asarray(got_pos)[: int(got_count)]
     np.testing.assert_array_equal(kept, [100, 200, 320, 400, 500, 600])
+
+
+def test_final_positions_subset_of_raw_peaks(oracle):
+    """THE smoothing-bound invariant (produced in corrections.py's gap-merge,
+    consumed by analytics._bpm_series's gather-free window): every final beat
+    position is a member of the NMS-spaced raw peak set, so adjacent final
+    beats are >= the peak-finder distance apart."""
+    cfg = DEFAULT_CONFIG
+    env = jnp.asarray(oracle["envelope"])
+    floor = jnp.asarray(oracle["noise_floor"])
+    sr = int(oracle["sample_rate"])
+    n = len(env)
+
+    raw = np.asarray(oracle["all_raw_peaks"])
+    rcap = cfg.runtime.max_raw_peaks
+    rpos = np.full(rcap, n, dtype=np.int32)
+    rpos[: len(raw)] = raw
+    s1 = oracle["s1_peaks"]
+    ccap = cfg.runtime.max_candidates
+    spos = np.full(ccap, n, dtype=np.int32)
+    spos[: len(s1)] = s1
+    cpad = np.zeros(rcap, dtype=np.int32)
+    cpad[: len(types.labels_to_codes(oracle["labels"]))] = types.labels_to_codes(
+        oracle["labels"])
+
+    res = corrections.refine_and_correct(
+        jnp.asarray(spos), jnp.asarray(len(s1)), jnp.asarray(rpos),
+        jnp.asarray(len(raw)), jnp.asarray(cpad), env, floor, sr, cfg,
+    )
+    final = np.asarray(res.positions)[: int(res.count)]
+    assert np.isin(final, raw).all(), "corrections synthesized a position"
+    min_dist = int(cfg.features.min_peak_distance_sec * sr)
+    assert (np.diff(final) >= min_dist).all(), (
+        "final beats closer than the NMS distance - the gather-free BPM "
+        "smoothing bound in analytics._bpm_series no longer holds")

@@ -128,96 +128,6 @@ def test_batched_error_roster(tmp_path):
     assert len(errors) == 1 and errors[0][0] == bad
 
 
-def test_batched_overflow_retry(tmp_path):
-    """An input whose event population exceeds the configured capacities
-    must still come back EXACT via the auto-retry (capacities double, the
-    chunk re-runs on the already-staged device inputs) — and must surface
-    the serial path's capacity-overflow error when retries are disabled."""
-    src = tmp_path / "src"
-    src.mkdir()
-    files = []
-    for i in range(2):
-        p = str(src / f"rec{i}.wav")
-        make_wav(p, 25.0, seed=40 + i, bpm=100.0 + 9 * i)
-        files.append(p)
-
-    # Capacities far below the ~90 raw peaks / ~130+ noise-floor troughs
-    # these recordings carry; three doublings reach 256/256/512 (measured
-    # clean), a superset of the adequately-sized comparison run below.
-    tiny = AnalyzerConfig(runtime=RuntimeConfig(
-        max_raw_peaks=32, max_troughs=32, max_candidates=64,
-        dtype="float32", noise_quantile_stride=8, quantile_backend="xla"))
-
-    # Retries disabled: the serial-mode contract (error on the roster).
-    out0 = str(tmp_path / "noretry")
-    results0, errors0 = host_batch.analyze_files_batched(
-        files, tiny, out0, max_batch=4, min_bucket=1 << 13,
-        overflow_retries=0)
-    assert len(errors0) == len(files)
-    assert all("capacity overflow" in msg for _, msg in errors0)
-
-    # Retries on: exact artifacts, identical to an adequately-sized run
-    # (capacities never change results, only whether events fit).
-    out1 = str(tmp_path / "retry")
-    results1, errors1 = host_batch.analyze_files_batched(
-        files, tiny, out1, max_batch=4, min_bucket=1 << 13,
-        overflow_retries=3)
-    assert errors1 == []
-    big_dir = str(tmp_path / "big")
-    host_batch.analyze_files_batched(files, CFG, big_dir, max_batch=4,
-                                     min_bucket=1 << 13)
-    for i in range(len(files)):
-        for suffix in ("_bpm_plot.csv", "_Analysis_Summary.md"):
-            a = os.path.join(big_dir, f"rec{i}{suffix}")
-            b = os.path.join(out1, f"rec{i}{suffix}")
-            assert _normalized(a) == _normalized(b), f"rec{i}{suffix}"
-
-
-def test_batched_mesh_parity(tmp_path):
-    """`analyze_files_batched(mesh=...)` — the dp-sharded batched front-end —
-    must produce the same artifacts as the unsharded path on a mixed-length
-    mini-fleet (batch buckets pad up to the dp size; padding rows are
-    discarded)."""
-    import jax
-    from jax.sharding import Mesh
-
-    devs = jax.devices()
-    if len(devs) < 8:
-        pytest.skip("needs 8 virtual devices")
-    mesh = Mesh(np.array(devs[:4]), ("dp",))
-
-    src = tmp_path / "src"
-    src.mkdir()
-    seconds = [21.0, 34.5, 22.8]
-    files = []
-    for i, sec in enumerate(seconds):
-        p = str(src / f"rec{i}.wav")
-        make_wav(p, sec, seed=70 + i, bpm=92.0 + 8 * i)
-        files.append(p)
-
-    plain_dir = str(tmp_path / "plain")
-    results_p, errors_p = host_batch.analyze_files_batched(
-        files, CFG, plain_dir, max_batch=4, min_bucket=1 << 13)
-    mesh_dir = str(tmp_path / "mesh")
-    results_m, errors_m = host_batch.analyze_files_batched(
-        files, CFG, mesh_dir, max_batch=4, min_bucket=1 << 13, mesh=mesh)
-    assert errors_p == [] and errors_m == []
-    assert set(results_m) == set(files)
-
-    for i in range(len(files)):
-        for suffix in ARTIFACTS:
-            a = os.path.join(plain_dir, f"rec{i}{suffix}")
-            b = os.path.join(mesh_dir, f"rec{i}{suffix}")
-            assert os.path.exists(b), b
-            if suffix == "_Debug_Log.md":
-                # Same amplitude-display tolerance as serial-vs-batched:
-                # the sharded compilation may block f32 sums differently.
-                _assert_log_equal(a, b, f"rec{i}{suffix}")
-            else:
-                assert _normalized(a) == _normalized(b), \
-                    f"artifact mismatch: rec{i}{suffix}"
-
-
 def test_length_buckets():
     assert host_batch.length_bucket(100, 1 << 13) == 1 << 13
     # Half-octave grid: 1.5 * 2^k sizes cap padding waste at ~33%.

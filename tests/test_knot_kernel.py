@@ -84,3 +84,34 @@ def test_knot_kernel_no_knots():
         pos, val, jnp.zeros((1,), jnp.int32), 4000, 301, 0.2,
         min_periods=3, stride=8, min_spacing=30, interpret=True))
     assert np.isnan(got).all()
+
+
+def test_knot_kernel_first_knot_past_zero():
+    """Anchors whose windows sit entirely/partially BEFORE the first knot
+    (base clamps to 0 in the kernel, index -1 masks in the XLA path): the
+    first knot starts well past 0 so the pre-first-knot NaN region and the
+    first interpolating segment are both exercised against the oracle."""
+    rng = np.random.RandomState(7)
+    n, cap, window, stride, min_spacing = 6000, 64, 603, 8, 30
+    count = 40
+    gaps = rng.randint(min_spacing, 3 * min_spacing, size=count)
+    pos_np = np.minimum(2 * window + np.cumsum(gaps), n - 1)  # first ~2*window
+    pos_np = np.unique(pos_np)[:count]
+    count = len(pos_np)
+    full = np.full(cap, n, np.int32)
+    full[:count] = pos_np
+    val = np.zeros(cap, np.float32)
+    val[:count] = np.abs(rng.randn(count)).astype(np.float32) * 120
+
+    pos = jnp.asarray(full[None])
+    vals = jnp.asarray(val[None])
+    cnt = jnp.asarray(np.array([count], np.int32))
+    got = np.asarray(kk.knot_quantile_anchors_pallas(
+        pos, vals, cnt, n, window, 0.2, min_periods=3, stride=stride,
+        min_spacing=min_spacing, interpret=True))[0]
+    exp = np.asarray(kq.rolling_quantile_knots(
+        pos[0], vals[0], cnt[0], n, window, 0.2, min_periods=3,
+        stride=stride, min_spacing=min_spacing))
+    # The pre-first-knot region must include NaN anchors on both paths.
+    assert np.isnan(exp[: window // (2 * stride)]).any()
+    np.testing.assert_allclose(got, exp, rtol=3e-6, atol=1e-3, equal_nan=True)

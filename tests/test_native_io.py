@@ -96,3 +96,35 @@ def test_batch_strided_decode_into_caller_buffer(built, tmp_path):
         assert lengths[i] == len(ref)
         np.testing.assert_allclose(out[i, : len(ref)], ref)
         assert np.all(out[i, len(ref):] == 0)  # tail zeroed, not dirty
+
+
+def test_fir_decode_matches_device_fir(built, tmp_path):
+    """decode_batch_fir (streaming C++ FIR) == the device FIR
+    (ops/filter.fir_decimate) == the numpy fallback, to float32 rounding —
+    the host half of the antialias decimation path."""
+    import jax
+    import jax.numpy as jnp
+
+    from bpm_analysis_tpu.ops.filter import fir_decimate
+
+    rng = np.random.RandomState(11)
+    sr, factor = 4830, 15
+    sig = (rng.randn(sr * 4) * 1000).astype(np.float32)
+    sig += 4000 * np.sin(2 * np.pi * 900 * np.arange(sr * 4) / sr).astype(np.float32)
+    q = np.int16(np.clip(sig, -32768, 32767))
+    p = str(tmp_path / "fir.wav")
+    pywav.write(p, sr, q)
+    mono = q.astype(np.float32)
+
+    out, rates, lengths = native.decode_batch_fir([p], 4096, [factor])
+    n = int(lengths[0])
+    assert rates[0] == sr and n == -(-len(mono) // factor)
+
+    dev = np.asarray(fir_decimate(jnp.asarray(mono), factor))
+    scale = np.abs(dev).max()
+    np.testing.assert_allclose(out[0][:n], dev[:n], atol=2e-5 * scale)
+
+    ref = native._fir_decimate_np(mono, factor)
+    np.testing.assert_allclose(out[0][:n], ref[:n], atol=2e-5 * scale)
+    # Tail past the decoded length stays zero (staging contract).
+    assert np.all(out[0][n:] == 0)
