@@ -37,6 +37,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CPU_BASELINE_FILE = os.path.join(REPO, "bench_cpu_baseline.json")
 CPU_NATIVE_FILE = os.path.join(REPO, "bench_cpu_native.json")
+CPU_STRESS_FILE = os.path.join(REPO, "bench_cpu_stress.json")
 
 SR = 302
 NATIVE_SR = 44100
@@ -85,6 +86,55 @@ def synth_recording(seed: int) -> np.ndarray:
     kernel = (np.exp(-np.arange(36) / 7.0) * np.cos(np.arange(36) * 0.85)).astype(np.float32)
     sig = np.convolve(impulses, kernel, mode="same")
     sig += rng.randn(N_SAMPLES).astype(np.float32) * 8.0
+    return sig.astype(np.float32)
+
+
+def synth_stress_recording(seed: int) -> np.ndarray:
+    """Out-of-family stress fleet at the engine rate — deformations the
+    in-family generator never produces, cycling four families by seed:
+
+      0: hard clipping (plateau peaks — exercises plateau-midpoint maxima),
+      1: dropout (three 8 s zeroed spans — silence edges, floor collapse),
+      2: 40 BPM constant (low-rate edge: long RR, sparse troughs),
+      3: sustained 165 BPM + 1 s noise bursts (high-rate edge + SNR shocks).
+
+    The gate is PARITY: the reference engine sees the identical int16 signal,
+    so worst-case F1/MAE floors apply unchanged (BASELINE north star).
+    """
+    family = seed % 4
+    rng = np.random.RandomState(50_000 + seed)
+    t = np.arange(N_SAMPLES) / SR
+    dur = t[-1]
+    if family == 2:
+        hr = np.full(N_SAMPLES, 40.0) + rng.randn(N_SAMPLES).cumsum() * 5e-5
+    elif family == 3:
+        hr = np.full(N_SAMPLES, 165.0) + rng.randn(N_SAMPLES).cumsum() * 1e-4
+    else:
+        hr = np.interp(t, [0, dur * 0.3, dur * 0.5, dur * 0.8, dur],
+                       [80, 170, 150, 95, 95]) + rng.randn(N_SAMPLES).cumsum() * 1e-4
+    hr = np.clip(hr, 35, 200)
+    phase = np.cumsum(hr / 60.0 / SR)
+    impulses = np.zeros(N_SAMPLES, np.float32)
+    beats = np.nonzero(np.diff(np.floor(phase), prepend=0.0) > 0)[0]
+    impulses[beats] = 1000.0 * (1 + 0.1 * rng.randn(len(beats)))
+    rr = 60.0 / hr[beats] * SR
+    s2 = (beats + 0.33 * rr).astype(int)
+    s2 = s2[s2 < N_SAMPLES]
+    impulses[s2] = 450.0 * (1 + 0.1 * rng.randn(len(s2)))
+    kernel = (np.exp(-np.arange(36) / 7.0) * np.cos(np.arange(36) * 0.85)).astype(np.float32)
+    sig = np.convolve(impulses, kernel, mode="same")
+    sig += rng.randn(N_SAMPLES).astype(np.float32) * 8.0
+    if family == 0:
+        lim = 0.35 * np.abs(sig).max()
+        sig = np.clip(sig, -lim, lim)
+    elif family == 1:
+        for _ in range(3):
+            start = rng.randint(0, N_SAMPLES - 8 * SR)
+            sig[start: start + 8 * SR] = 0.0
+    elif family == 3:
+        for _ in range(5):
+            start = rng.randint(0, N_SAMPLES - SR)
+            sig[start: start + SR] += rng.randn(SR).astype(np.float32) * 160.0
     return sig.astype(np.float32)
 
 
@@ -230,6 +280,72 @@ def measure_cpu_reference() -> dict:
     return data
 
 
+def measure_cpu_stress() -> dict:
+    """Reference oracles for the out-of-family stress fleet (parity gate —
+    no throughput).  Cached like the in-family oracles;
+    tools/make_fleet_oracles.py extends the cache to the full 128-seed
+    fleet so the gate is fleet-wide."""
+    if os.path.exists(CPU_STRESS_FILE):
+        with open(CPU_STRESS_FILE) as f:
+            data = json.load(f)
+        if len(data.get("per_seed", {})) >= ACCURACY_SEEDS:
+            return data
+
+    from bpm_analysis_tpu.io import wav as wavio
+
+    per_seed = {}
+    with tempfile.TemporaryDirectory() as td:
+        for seed in range(ACCURACY_SEEDS):
+            path = os.path.join(td, f"stress_{seed}.wav")
+            wavio.write(path, SR, _quantize_int16(synth_stress_recording(seed)))
+            try:
+                per_seed[str(seed)] = _run_reference_engine(path, td)
+            except Exception as e:  # reference fails on a hostile input:
+                # agreement-on-failure is the parity condition for the seed.
+                per_seed[str(seed)] = {"error": str(e)[:200], "beat_times": []}
+
+    data = {"per_seed": per_seed}
+    with open(CPU_STRESS_FILE, "w") as f:
+        json.dump(data, f)
+    return data
+
+
+def _stress_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
+    """Worst-case stress-parity rows.  Seeds where the reference found
+    almost nothing (<5 beats, or errored) switch to an agreement-on-failure
+    check — the TPU engine must also find <5 beats there; F1 on near-empty
+    sets is noise, not signal."""
+    f1s, maes, degenerate = [], [], 0
+    for seed, oracle in per_seed_oracle.items():
+        if int(seed) not in tpu_curves:
+            continue
+        beats, times, values = tpu_curves[int(seed)]
+        if len(oracle.get("beat_times", [])) < 5:
+            degenerate += 1
+            if len(beats) >= 5:
+                raise AccuracyRegression(
+                    f"stress seed {seed}: reference degenerate "
+                    f"({len(oracle.get('beat_times', []))} beats) but TPU "
+                    f"found {len(beats)} — parity broken")
+            continue
+        f1s.append(beat_f1(beats, oracle["beat_times"]))
+        maes.append(bpm_mae(oracle["bpm_times"], oracle["bpm_values"],
+                            times, values))
+    if not f1s:
+        raise AccuracyRegression("stress gate: no comparable seeds")
+    rows = {"beat_f1": round(float(min(f1s)), 4),
+            "bpm_mae": round(float(max(maes)), 4),
+            "accuracy_seeds": len(f1s), "degenerate_agreed": degenerate,
+            "families": "clipping/dropout/40bpm/165bpm+bursts"}
+    if rows["beat_f1"] < F1_FLOOR:
+        raise AccuracyRegression(
+            f"stress worst-case beat F1 {rows['beat_f1']} < {F1_FLOOR}")
+    if not rows["bpm_mae"] < MAE_CEIL:
+        raise AccuracyRegression(
+            f"stress worst-case BPM MAE {rows['bpm_mae']} >= {MAE_CEIL}")
+    return rows
+
+
 def measure_cpu_native(native_paths: list) -> dict:
     """Reference throughput + oracles on the native-rate files, including
     its own host decode (scipy wavfile read) — the end-to-end baseline."""
@@ -359,7 +475,8 @@ def _tpu_curves(res, n_seeds: int, rate: int = SR) -> dict:
 
 
 def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
-                stride: int = 64):
+                stride: int = 64, synth=synth_recording,
+                allow_not_ok: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -376,7 +493,7 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
     # Same int16 quantization the CPU reference reads from its WAV, and the
     # same full preprocessing (band-pass filtfilt at the 302 Hz rate —
     # downsample clamps to 1) so both engines see identical signals.
-    batch = np.stack([_quantize_int16(synth_recording(s)).astype(np.float32)
+    batch = np.stack([_quantize_int16(synth(s)).astype(np.float32)
                       for s in range(batch_size)])
 
     fn = jax.jit(lambda xs: pipeline.analyze_batch(
@@ -385,7 +502,8 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
     # Warmup / compile.
     res = fn(jnp.asarray(batch))
     counts = np.asarray(res.final_count)
-    assert (counts > 100).all(), f"bench sanity: too few beats {counts[:4]}"
+    if not allow_not_ok:
+        assert (counts > 100).all(), f"bench sanity: too few beats {counts[:4]}"
     assert not np.asarray(res.overflowed).any(), \
         "bench sanity: a capacity truncated events — results not exact"
 
@@ -543,6 +661,22 @@ def main():
         "vs_baseline": round(tpu / cpu, 2) if cpu else None,
     }
     out.update(acc)
+
+    # Out-of-family stress parity gate (clipping / dropout / 40 BPM /
+    # sustained-165-BPM + noise bursts): same F1/MAE floors as the in-family
+    # gate, agreement-on-failure for seeds that are degenerate for the
+    # reference too.  The stress batch reuses the compiled engine program
+    # (identical shapes/config), so this adds one device pass, not a compile.
+    try:
+        stress_oracle = measure_cpu_stress()
+        _, stress_curves = measure_tpu(args.batch, args.backend, args.stride,
+                                       synth=synth_stress_recording,
+                                       allow_not_ok=True)
+        out["stress"] = _stress_rows(stress_oracle["per_seed"], stress_curves)
+    except (AssertionError, AccuracyRegression):
+        raise
+    except Exception as e:
+        out["stress"] = {"error": str(e)[:200]}
 
     if not args.skip_native:
         try:

@@ -92,6 +92,58 @@ def check_overflow(result, original_file_path: str) -> None:
         )
 
 
+class SampledEnv:
+    """Duck-typed stand-in for a dense per-sample array that only holds the
+    values the renderers actually read — event positions (peaks/troughs) and
+    the SVG downsample grid.  The batched front-end gathers these on DEVICE
+    (host_batch render pack), cutting the per-chunk D2H from the full dense
+    rows (~25 MB per 16-file chunk at ~20 MB/s on tunneled links) to a few
+    hundred KB, byte-identical artifacts (the gathered values ARE the dense
+    entries).
+
+    Supports exactly the renderer access patterns: ``len(a)``, ``a[i]`` for
+    scalar event positions, ``a[np.ndarray]`` for marker position arrays,
+    and ``a[::step]`` for the SVG line (``step`` must be the grid step this
+    view was built with).  Anything else raises — a loud contract, so a new
+    renderer access pattern becomes a test failure, not silent corruption.
+    """
+
+    def __init__(self, n: int, positions: np.ndarray, values: np.ndarray,
+                 ds_step: int, ds_values: np.ndarray):
+        order = np.argsort(positions, kind="stable")
+        self._pos = np.asarray(positions)[order]
+        self._val = np.asarray(values)[order]
+        self._n = int(n)
+        self._ds_step = int(ds_step)
+        self._ds = np.asarray(ds_values)
+
+    def __len__(self):
+        return self._n
+
+    def _lookup(self, pos):
+        pos = np.asarray(pos)
+        i = np.searchsorted(self._pos, pos)
+        ok = (i < len(self._pos))
+        if not np.all(ok & (self._pos[np.minimum(i, len(self._pos) - 1)] == pos)):
+            missing = np.asarray(pos)[~(ok & (self._pos[np.minimum(
+                i, len(self._pos) - 1)] == pos))]
+            raise KeyError(
+                f"SampledEnv: positions {missing[:5]} were not gathered on "
+                "device — extend the render pack for this access")
+        return self._val[i]
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            if key.start is None and key.stop is None \
+                    and (key.step or 1) == self._ds_step:
+                return self._ds
+            raise KeyError(f"SampledEnv: unsupported slice {key} "
+                           f"(grid step is {self._ds_step})")
+        if np.isscalar(key) or getattr(key, "ndim", 1) == 0:
+            return float(self._lookup(np.asarray([key]))[0])
+        return self._lookup(key)
+
+
 def save_filtered_wav(filtered: np.ndarray, new_rate: int,
                       original_file_path: str, output_directory: str,
                       beside_wav_path: Optional[str] = None) -> None:
@@ -102,6 +154,18 @@ def save_filtered_wav(filtered: np.ndarray, new_rate: int,
     base = os.path.basename(os.path.splitext(original_file_path)[0])
     peak = np.max(np.abs(filtered)) or 1.0
     norm = np.int16(filtered / peak * 32767)
+    write_filtered_wav_i16(norm, new_rate, original_file_path,
+                           output_directory, beside_wav_path)
+
+
+def write_filtered_wav_i16(norm: np.ndarray, new_rate: int,
+                           original_file_path: str, output_directory: str,
+                           beside_wav_path: Optional[str] = None) -> None:
+    """Write an already int16-normalized filtered signal — the batched
+    front-end normalizes ON DEVICE (same peak/scale/truncation arithmetic in
+    float32, bit-identical samples) and fetches int16, halving the D2H bytes
+    of the heaviest render-mode leaf."""
+    base = os.path.basename(os.path.splitext(original_file_path)[0])
     out_path = os.path.join(output_directory, f"{base}_filtered_debug.wav")
     wav.write(out_path, new_rate, norm)
     if beside_wav_path is not None:

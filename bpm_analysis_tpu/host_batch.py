@@ -29,7 +29,7 @@ import os
 import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -84,11 +84,54 @@ def doubled_capacities(cfg: AnalyzerConfig) -> AnalyzerConfig:
         extrema_capacity=rt.extrema_capacity * 2))
 
 
-@functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
+# SVG downsample-grid slots gathered on device for the render pack: the SVG
+# line reads env[::step] with step = max(1, nv // 2400), whose length tops
+# out just below 2 * 2400 (nv just under a step increment).
+_DS_CAP = 4800
+
+
+class RenderPack(NamedTuple):
+    """Device-gathered values the artifact renderers read — everything the
+    debug log / SVG plot / filtered-WAV writer needs from the dense
+    per-sample arrays, so render mode never fetches a dense f32 row (~25 MB
+    per 16-file chunk over a ~20 MB/s tunneled D2H link)."""
+    peak_env: jnp.ndarray    # env at raw_peak_positions (clipped)
+    peak_floor: jnp.ndarray  # floor at raw_peak_positions
+    trough_env: jnp.ndarray
+    trough_floor: jnp.ndarray
+    ds_env: jnp.ndarray      # env at the SVG grid (i*step, clipped; _DS_CAP)
+    ds_floor: jnp.ndarray
+    filt_i16: Optional[jnp.ndarray]  # int16-normalized filtered signal
+
+
+def _render_pack(env, floor, filtered, res, nv_dec) -> RenderPack:
+    n = env.shape[0]
+    rp = jnp.clip(res.raw_peak_positions, 0, n - 1)
+    tp = jnp.clip(res.trough_positions, 0, n - 1)
+    step = jnp.maximum(nv_dec // 2400, 1)
+    ds_idx = jnp.minimum(jnp.arange(_DS_CAP) * step, nv_dec - 1)
+    if filtered is None:
+        norm = None
+    else:
+        mask = jnp.arange(n) < nv_dec
+        peak = jnp.max(jnp.abs(jnp.where(mask, filtered, 0.0)))
+        peak = jnp.where(peak > 0, peak, jnp.ones((), filtered.dtype))
+        # Same arithmetic as host.save_filtered_wav: /peak then *32767 in
+        # float32, truncating int16 cast — bit-identical samples.
+        norm = (filtered / peak * 32767).astype(jnp.int16)
+    return RenderPack(env[rp], floor[rp], env[tp], floor[tp],
+                      env[ds_idx], floor[ds_idx], norm)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sample_rate", "cfg", "render_pack"))
 def _analyze_padded_batch(audio, hints, n_valid, sample_rate: int,
-                          cfg: AnalyzerConfig):
+                          cfg: AnalyzerConfig, render_pack: bool = False):
     """One bucket: (B, L) zero-padded PCM + per-row valid lengths → per-row
-    (envelope, filtered, decimated valid length, PipelineResult)."""
+    (envelope, filtered, decimated valid length, PipelineResult, pack).
+    With ``render_pack`` the dense leaves the renderers read are gathered on
+    device into a RenderPack (returned fifth) so the fetch thread never
+    ships dense rows."""
 
     def one(x, h, nv):
         if jnp.issubdtype(x.dtype, jnp.integer):
@@ -100,7 +143,10 @@ def _analyze_padded_batch(audio, hints, n_valid, sample_rate: int,
                                                        n_valid=nv)
         res = pipeline.analyze_envelope(env, _post_rate(sample_rate, cfg), cfg,
                                         h, n_valid=nv_dec)
-        return env, filtered, nv_dec, res
+        if render_pack:
+            return None, None, nv_dec, res, _render_pack(
+                env, res.floor, filtered, res, nv_dec)
+        return env, filtered, nv_dec, res, None
 
     return jax.vmap(one)(audio, hints, n_valid)
 
@@ -112,6 +158,39 @@ def _post_rate(sample_rate: int, cfg: AnalyzerConfig) -> int:
 
 def _tree_row(tree, i):
     return jax.tree_util.tree_map(lambda a: a[i], tree)
+
+
+def _have_plotly() -> bool:
+    from .reports import plot
+
+    return plot._plotly_modules()[0] is not None
+
+
+def _pack_views(pk: "RenderPack", res_i, nv: int):
+    """(env view, floor view) for one recording from its fetched RenderPack
+    row — the SampledEnv instances the renderers index instead of dense
+    arrays.  Gathered positions are the CLIPPED raw-peak/trough slots plus
+    the SVG grid; padding slots were clipped to n-1 on device, but only
+    positions < the respective counts are ever read."""
+    n_rp = int(res_i.raw_peak_count)
+    n_tr = int(res_i.trough_count)
+    rp = np.asarray(res_i.raw_peak_positions)[:n_rp]
+    tp = np.asarray(res_i.trough_positions)[:n_tr]
+    step = max(1, nv // 2400)
+    n_ds = -(-nv // step)
+    grid = np.arange(n_ds) * step
+    positions = np.concatenate([rp, tp, grid])
+    env_vals = np.concatenate([np.asarray(pk.peak_env)[:n_rp],
+                               np.asarray(pk.trough_env)[:n_tr],
+                               np.asarray(pk.ds_env)[:n_ds]])
+    floor_vals = np.concatenate([np.asarray(pk.peak_floor)[:n_rp],
+                                 np.asarray(pk.trough_floor)[:n_tr],
+                                 np.asarray(pk.ds_floor)[:n_ds]])
+    env_view = host.SampledEnv(nv, positions, env_vals, step,
+                               np.asarray(pk.ds_env)[:n_ds])
+    floor_view = host.SampledEnv(nv, positions, floor_vals, step,
+                                 np.asarray(pk.ds_floor)[:n_ds])
+    return env_view, floor_view
 
 
 def prepare_wavs(paths: Sequence[str], output_dir: str,
@@ -173,7 +252,17 @@ def analyze_files_batched(
     ``s1_positions``, ``trough_positions``, ``raw_peak_positions``) are
     returned as ``None`` — on tunneled devices D2H runs at ~20 MB/s, and not
     fetching them is most of the end-to-end win.  Pass ``render=True`` (the
-    default) for the full pytree and on-disk artifacts.
+    default) for on-disk artifacts.
+
+    ``render=True`` leaf contract: artifacts are rendered from
+    device-gathered values (``RenderPack`` — event/grid samples plus the
+    int16-normalized filtered signal), so the dense ``floor`` and
+    ``smoothed_deviation`` leaves come back ``None`` here too (the
+    renderers never read other dense entries; artifacts stay byte-identical
+    to the serial path, tests/test_host_batch.py).  Only when the real
+    plotly is importable are dense rows fetched (its figure plots
+    ``envelope[::factor]`` at the configured factor).  Serial
+    ``host.analyze_wav_file`` keeps returning the full dense pytree.
 
     ``lane_stats``, if given, accumulates per-lane busy seconds across the
     run: ``decode`` (host decode + pad, decode thread), ``h2d`` (transfer +
@@ -375,6 +464,12 @@ def analyze_files_batched(
         logging.debug("h2d_chunk[%d files]: %.3fs", len(chunk), dt)
         return chunk, ok_rows, args, staging_errors
 
+    # Render-pack mode: gather the renderer-read values on device instead of
+    # fetching dense rows.  Only when the real plotly is importable does the
+    # figure need dense arrays (envelope[::factor] at factor 1); the SVG
+    # fallback reads exactly the pack.
+    use_pack = render and not _have_plotly()
+
     def dispatch_chunk(sr: int, staged):
         """Enqueue the device program for one staged chunk (async under JAX
         dispatch; returns device arrays immediately).  Runs on the main
@@ -389,7 +484,7 @@ def analyze_files_batched(
         # args travel with the dispatch so the fetch thread can re-run the
         # chunk under a doubled-capacity config on overflow (the staged
         # device inputs are reused; nothing is re-decoded or re-transferred).
-        return chunk, ok_rows, run(*args, sr, cfg), args
+        return chunk, ok_rows, run(*args, sr, cfg, render_pack=use_pack), args
 
     def finish_chunk(sr: int, dispatched) -> List[Tuple[str, str]]:
         """Fetch + render one dispatched chunk on the fetch thread.  Returns
@@ -400,7 +495,7 @@ def analyze_files_batched(
         post_errors: List[Tuple[str, str]] = []
         if dispatched is None:
             return post_errors
-        chunk, ok_rows, (env_b, filt_b, nvd_b, res_b), args = dispatched
+        chunk, ok_rows, (env_b, filt_b, nvd_b, res_b, pack_b), args = dispatched
         t0 = time.perf_counter()
         # One tiny leaf first: returns when the device program has finished,
         # so t_ready - t0 is pure compute wait and t1 - t_ready is pure D2H.
@@ -419,11 +514,23 @@ def analyze_files_batched(
                 "capacities %dx the configured sizes",
                 len(chunk), retry_cfg.runtime.max_raw_peaks
                 // cfg.runtime.max_raw_peaks)
-            env_b, filt_b, nvd_b, res_b = run(*args, sr, retry_cfg)
+            env_b, filt_b, nvd_b, res_b, pack_b = run(*args, sr, retry_cfg,
+                                                      render_pack=use_pack)
             np.asarray(res_b.final_count)
         t_ready = time.perf_counter()
         new_rate = sr if pre_filtered else _post_rate(sr, cfg)
-        if render:
+        pack_np = None
+        if render and pack_b is not None:
+            # Render-pack fetch: the pack plus the result WITHOUT its dense
+            # per-sample leaves — the renderers read event/grid values from
+            # the pack (host.SampledEnv), and the filtered WAV ships as
+            # device-normalized int16.  D2H per 16-file chunk drops from
+            # ~25 MB of dense f32 rows to the pack's ~2 MB.
+            env_np = filt_np = None
+            res_np = jax.device_get(res_b._replace(
+                floor=None, smoothed_deviation=None))
+            pack_np = jax.device_get(pack_b)
+        elif render:
             env_np = np.asarray(env_b)
             filt_np = None if filt_b is None else np.asarray(filt_b)
             res_np = jax.device_get(res_b)
@@ -451,16 +558,31 @@ def analyze_files_batched(
             orig = pairs[chunk[row]][1]
             res_i = _tree_row(res_np, slot)
             nv_dec = int(nvd_np[slot])
+            beside = (pairs[chunk[row]][0]
+                      if cfg.compat.filtered_wav_beside_input else None)
             try:
-                if render:
+                if render and pack_np is not None:
+                    pk = _tree_row(pack_np, slot)
+                    if (pk.filt_i16 is not None
+                            and cfg.preprocess.save_filtered_wav):
+                        host.write_filtered_wav_i16(
+                            pk.filt_i16[:nv_dec], new_rate, orig, output_dir,
+                            beside_wav_path=beside)
+                    env_view, floor_view = _pack_views(pk, res_i, nv_dec)
+                    out = host.render_artifacts(
+                        res_i._replace(floor=floor_view), cfg, env_view,
+                        new_rate, orig, output_dir, hints[chunk[row]])
+                    if out is not None:
+                        # Callers get the same leaf contract as render=False
+                        # for the dense arrays (the artifacts already hold
+                        # the rendered views).
+                        out = out._replace(floor=None)
+                elif render:
                     if (filt_np is not None
                             and cfg.preprocess.save_filtered_wav):
                         host.save_filtered_wav(
                             filt_np[slot][:nv_dec], new_rate, orig, output_dir,
-                            beside_wav_path=(
-                                pairs[chunk[row]][0]
-                                if cfg.compat.filtered_wav_beside_input
-                                else None))
+                            beside_wav_path=beside)
                     out = host.render_artifacts(
                         res_i, cfg, env_np[slot][:nv_dec], new_rate, orig,
                         output_dir, hints[chunk[row]])
@@ -536,9 +658,10 @@ def analyze_files_batched(
     return results, errors
 
 
-@functools.partial(jax.jit, static_argnames=("sample_rate", "cfg"))
+@functools.partial(jax.jit,
+                   static_argnames=("sample_rate", "cfg", "render_pack"))
 def _analyze_prefiltered_batch(audio, hints, n_valid, sample_rate: int,
-                               cfg: AnalyzerConfig):
+                               cfg: AnalyzerConfig, render_pack: bool = False):
     """Bucket runner for already-filtered inputs (``*_filtered_debug.wav``):
     envelope straight from the signal, no decimation (n_valid unchanged).
     The filtered leaf is None: serial mode deliberately writes no
@@ -550,6 +673,9 @@ def _analyze_prefiltered_batch(audio, hints, n_valid, sample_rate: int,
             x = x.astype(jnp.dtype(cfg.runtime.dtype))  # exact (PCM16 values)
         env = envm.envelope_from_filtered(x, sample_rate, n_valid=nv)
         res = pipeline.analyze_envelope(env, sample_rate, cfg, h, n_valid=nv)
-        return env, None, nv, res
+        if render_pack:
+            return None, None, nv, res, _render_pack(env, res.floor, None,
+                                                     res, nv)
+        return env, None, nv, res, None
 
     return jax.vmap(one)(audio, hints, n_valid)

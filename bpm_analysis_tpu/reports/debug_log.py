@@ -54,7 +54,10 @@ def render(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
     now = now or datetime.datetime.now()
     events = build_events(result, cfg, sample_rate)
 
-    floor = np.asarray(result.floor)
+    # May be a dense ndarray (serial path) or a host.SampledEnv view holding
+    # exactly the event-position values (batched render pack) — only ever
+    # indexed at event positions below.
+    floor = result.floor
 
     # smoothed BPM as-of series
     m = result.metrics.bpm
@@ -75,11 +78,32 @@ def render(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
         np.add.at(cnts, inv, 1)
         bt, bv = uniq, sums / cnts
 
+    # Vectorized per-event metric lookups (one searchsorted per series for
+    # the WHOLE event list instead of per event; one batch gather for the
+    # amp/floor columns): the debug log is the heaviest host artifact
+    # (~5k events/file) and renders on the fetch thread of a 1-core host.
+    tol = 0.5 / sample_rate
+    ev_t = np.array([e[0] for e in events], dtype=float)
+    ev_pos = np.array([e[2] for e in events], dtype=np.int64)
+    if len(events):
+        amp_col = np.asarray(envelope[ev_pos], dtype=float)
+        floor_col = np.asarray(floor[ev_pos], dtype=float)
+        if count:
+            i = np.searchsorted(bpm_t, ev_t + tol, side="right") - 1
+            bpm_col = np.where(i >= 0, bpm_v[np.maximum(i, 0)], np.nan)
+        else:
+            bpm_col = np.full(len(events), np.nan)
+        if len(bt):
+            i = np.searchsorted(bt, ev_t + tol, side="right") - 1
+            belief_col = np.where(i >= 0, bv[np.maximum(i, 0)], np.nan)
+        else:
+            belief_col = np.full(len(events), np.nan)
+
     out = []
     out.append(f"# Chronological Debug Log for {os.path.basename(file_name)}")
     out.append(f"Analysis performed on: {now.strftime('%Y-%m-%d %H:%M:%S')}\n")
 
-    for t, kind, pos, reason in events:
+    for ev_i, (t, kind, pos, reason) in enumerate(events):
         out.append(f"## Time: `{t:.4f}s`")
         if kind == "Trough":
             out.append("**Trough Detected**")
@@ -104,12 +128,11 @@ def render(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
                     out.append(formatted)
                 i += 2
 
-        tol = 0.5 / sample_rate
         metrics = {
-            "Raw Amp": float(envelope[pos]),
-            "Noise Floor": float(floor[pos]),
-            "Average BPM (Smoothed)": _asof(bpm_t, bpm_v, t, tol) if count else float("nan"),
-            "Long-Term BPM (Belief)": _asof(bt, bv, t, tol) if len(bt) else float("nan"),
+            "Raw Amp": amp_col[ev_i],
+            "Noise Floor": floor_col[ev_i],
+            "Average BPM (Smoothed)": bpm_col[ev_i],
+            "Long-Term BPM (Belief)": belief_col[ev_i],
         }
         for name, value in metrics.items():
             if not np.isnan(value):

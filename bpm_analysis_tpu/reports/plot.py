@@ -294,7 +294,10 @@ def _svg_fallback(result, cfg, envelope, sample_rate, file_name, path):
     n = len(envelope)
     step = max(1, n // 2400)
     env_ds = envelope[::step]
-    emax = float(np.quantile(envelope, 0.99)) * 2 or 1.0
+    # Scale from the PLOTTED points (identical whether `envelope` is dense or
+    # a host.SampledEnv view carrying exactly the [::step] grid — both paths
+    # must render byte-identical SVGs).
+    emax = float(np.quantile(env_ds, 0.99)) * 2 or 1.0
 
     def sx(i):
         return i / n * W
@@ -306,7 +309,7 @@ def _svg_fallback(result, cfg, envelope, sample_rate, file_name, path):
         return H - (min(max(b, 50), 200) - 50) / 150 * H
 
     env_pts = " ".join(f"{sx(i*step):.1f},{sy_amp(v):.1f}" for i, v in enumerate(env_ds))
-    floor = np.asarray(result.floor)[::step]
+    floor = result.floor[::step]          # ndarray or SampledEnv view
     floor_pts = " ".join(f"{sx(i*step):.1f},{sy_amp(v):.1f}" for i, v in enumerate(floor))
 
     groups = _peak_groups(result, cfg, envelope, sample_rate)

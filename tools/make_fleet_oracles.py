@@ -71,10 +71,38 @@ def extend_engine(n_seeds: int = bench.BATCH) -> None:
             print(f"engine oracle {seed}: {time.time() - t0:.1f}s", flush=True)
 
 
+def extend_stress(n_seeds: int = bench.BATCH) -> None:
+    from bpm_analysis_tpu.io import wav as wavio
+
+    if os.path.exists(bench.CPU_STRESS_FILE):
+        with open(bench.CPU_STRESS_FILE) as f:
+            data = json.load(f)
+    else:
+        data = {"per_seed": {}}
+    per_seed = data["per_seed"]
+    with tempfile.TemporaryDirectory() as td:
+        for seed in range(n_seeds):
+            if str(seed) in per_seed:
+                continue
+            t0 = time.time()
+            path = os.path.join(td, f"stress_{seed}.wav")
+            wavio.write(path, bench.SR,
+                        bench._quantize_int16(bench.synth_stress_recording(seed)))
+            try:
+                per_seed[str(seed)] = bench._run_reference_engine(path, td)
+            except Exception as e:  # hostile input: agreement-on-failure seed
+                per_seed[str(seed)] = {"error": str(e)[:200], "beat_times": []}
+            os.remove(path)
+            _flush(bench.CPU_STRESS_FILE, data)
+            print(f"stress oracle {seed}: {time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("native", "both"):
         extend_native()
     if which in ("engine", "both"):
         extend_engine()
+    if which in ("stress", "both"):
+        extend_stress()
     print("fleet oracles complete", flush=True)
