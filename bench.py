@@ -436,7 +436,8 @@ def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
 
 def _bench_cfg(stride: int, backend: str, candidates: int = 2048,
                work_factor: int = 4, prom_factor: float = 1.5,
-               extrema_capacity: int = 24576):
+               extrema_capacity: int = 24576, raw_peaks: int = 4096,
+               troughs: int = 4096):
     from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
 
     # extrema_capacity 24576: the synthetic 10-min 302 Hz recordings carry
@@ -444,7 +445,8 @@ def _bench_cfg(stride: int, backend: str, candidates: int = 2048,
     # one must fit the shared extrema decomposition for exact prominences
     # (the no-overflow assertions below check this).
     return AnalyzerConfig(runtime=RuntimeConfig(
-        max_raw_peaks=4096, max_troughs=4096, max_candidates=candidates,
+        max_raw_peaks=raw_peaks, max_troughs=troughs,
+        max_candidates=candidates,
         dtype="float32", noise_quantile_stride=stride, quantile_backend=backend,
         find_peaks_work_factor=work_factor,
         prominence_work_factor=prom_factor,
@@ -488,7 +490,21 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
     # NMS survivors (the 1.5 slot cap truncated them, tripping the
     # no-overflow assertion below); slot width is cheap under the
     # extrema-domain prominence backend.
-    cfg = _bench_cfg(stride, backend, prom_factor=2.0)
+    #
+    # raw_peaks 2560 for the IN-FAMILY fleet: the classifier and correction
+    # scans iterate the static raw-peak capacity, so slot width is
+    # sequential wall-time (the scans are latency-bound); the synthetic
+    # fleet carries ~1.6k raw peaks per recording, and the no-overflow
+    # assertion below fails the bench loudly if a capacity ever truncates
+    # (capacities change nothing else).  max_troughs stays 4096: trough NMS
+    # survivors peak >6144 on 4 fleet recordings, and the prominence slot
+    # axis is 2.0x max_troughs.  The stress fleet's sustained-165-BPM
+    # family carries ~3.3k raw peaks and runs the full 4096-slot config
+    # (its own compile).
+    if synth is synth_recording:
+        cfg = _bench_cfg(stride, backend, prom_factor=2.0, raw_peaks=2560)
+    else:
+        cfg = _bench_cfg(stride, backend, prom_factor=2.0)
 
     # Same int16 quantization the CPU reference reads from its WAV, and the
     # same full preprocessing (band-pass filtfilt at the 302 Hz rate —

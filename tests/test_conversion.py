@@ -96,8 +96,12 @@ def test_convert_to_wav_without_ffmpeg_raises(tmp_path, monkeypatch):
         host.convert_to_wav(str(tmp_path / "x.mp3"), str(tmp_path / "x.wav"))
 
 
+@pytest.mark.slow
 def test_analyze_any_file_converts_then_analyzes(fake_ffmpeg, tmp_path):
-    """The GUI/webapp/CLI per-file flow on a non-WAV input (gui.py:234-243):
+    """SLOW TIER: compiles the serial SMALL_CFG pipeline program — the fast
+    tier's single heaviest XLA:CPU compile (~40 s); the conversion logic
+    itself stays fast-covered by the prepare_wavs/convert_to_wav tests.
+    The GUI/webapp/CLI per-file flow on a non-WAV input (gui.py:234-243):
     convert into the output dir, analyze the converted WAV, artifacts named
     after the ORIGINAL file."""
     src = tmp_path / "rec.mp3"
@@ -161,8 +165,12 @@ def test_batched_fleet_with_conversion_failure(fake_ffmpeg, tmp_path):
     assert len(errors) == 1 and errors[0][0] == str(bad)
 
 
+@pytest.mark.slow
 def test_cli_converts_non_wav(fake_ffmpeg, tmp_path, monkeypatch, capsys):
-    """CLI front-end conversion flow (apps/cli.py -> analyze_any_file); the
+    """SLOW TIER: shares the serial SMALL_CFG pipeline compile with
+    test_analyze_any_file_converts_then_analyzes (whichever runs first pays
+    ~40 s of XLA:CPU).
+    CLI front-end conversion flow (apps/cli.py -> analyze_any_file); the
     webapp's process_audio_batch shares the same analyze_any_file body."""
     from bpm_analysis_tpu.apps import cli
 

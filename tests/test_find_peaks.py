@@ -91,7 +91,10 @@ def _signals_for_extrema(seed):
     yield spiky
 
 
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [
+    pytest.param(0, marks=pytest.mark.slow),  # twin coverage per tier:
+    1,                                        # seed 1 stays fast
+])
 def test_extrema_prominence_matches_dense(seed):
     """extrema_prominences is bit-identical to the dense descent path (same
     mins over the same sets) in both orientations, including plateau and
@@ -167,6 +170,7 @@ def test_compact_mask_small_n_large_capacity():
     assert np.all(np.asarray(pk.positions)[3:] == 5)
 
 
+@pytest.mark.slow
 def test_distance_nms_tie_oracle_fuzz():
     """The sort-free NMS (lexicographic (priority, slot) window max) must
     reproduce the deterministic greedy convention exactly — descending

@@ -28,7 +28,8 @@ def _random_knots(rng, n, cap, min_spacing, count):
 
 
 @pytest.mark.parametrize("window,stride,min_spacing", [
-    (603, 8, 30), (301, 4, 45),
+    (603, 8, 30),
+    pytest.param(301, 4, 45, marks=pytest.mark.slow),
 ])
 def test_knot_kernel_matches_xla_knots(window, stride, min_spacing):
     rng = np.random.RandomState(0)

@@ -8,7 +8,10 @@ from bpm_analysis_tpu.ops import quantile
 from bpm_analysis_tpu.ops.pallas import quantile_kernel as qk
 
 
-@pytest.mark.parametrize("window,stride", [(603, 8), (301, 4)])
+@pytest.mark.parametrize("window,stride", [
+    (603, 8),
+    pytest.param(301, 4, marks=pytest.mark.slow),  # twin per tier
+])
 def test_pallas_matches_xla_strided(window, stride):
     rng = np.random.RandomState(0)
     x = np.abs(rng.randn(2, 3000).astype(np.float32)) * 100
