@@ -486,25 +486,35 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
 
     from bpm_analysis_tpu.models import envelope as envm, pipeline
 
-    # prom_factor 2.0: 4 of 128 synthetic recordings carry >6144 trough
-    # NMS survivors (the 1.5 slot cap truncated them, tripping the
-    # no-overflow assertion below); slot width is cheap under the
-    # extrema-domain prominence backend.
-    #
     # raw_peaks 2560 for the IN-FAMILY fleet: the classifier and correction
     # scans iterate the static raw-peak capacity, so slot width is
     # sequential wall-time (the scans are latency-bound); the synthetic
-    # fleet carries ~1.6k raw peaks per recording, and the no-overflow
-    # assertion below fails the bench loudly if a capacity ever truncates
-    # (capacities change nothing else).  max_troughs stays 4096: trough NMS
-    # survivors peak >6144 on 4 fleet recordings, and the prominence slot
-    # axis is 2.0x max_troughs.  The stress fleet's sustained-165-BPM
-    # family carries ~3.3k raw peaks and runs the full 4096-slot config
-    # (its own compile).
+    # fleet carries <=2304 final raw peaks per recording, and the
+    # no-overflow assertion below fails the bench loudly if a capacity ever
+    # truncates (capacities change nothing else).  max_troughs stays 4096:
+    # trough NMS survivors peak >6144 on 4 fleet recordings.
+    #
+    # prom_factor 2.5: the prominence slot axis is prom_factor * the
+    # distance-NMS capacity of each call, and the NMS *survivor*
+    # populations (pre-prominence-filter) peak at 5819 raw / >6144 trough
+    # over the fleet — 2.0 * 2560 = 5120 truncated raw survivors on every
+    # recording (measured; the assertion below caught it).  2.5 gives
+    # 6400 raw / 10240 trough slots; prominence slot width is cheap under
+    # the extrema-domain backend (the sweep runs over the extrema axis,
+    # not this one).  The stress fleet's sustained-165-BPM family carries
+    # ~3.3k raw peaks and runs the full 4096-slot config (its own compile).
     if synth is synth_recording:
-        cfg = _bench_cfg(stride, backend, prom_factor=2.0, raw_peaks=2560)
+        cfg = _bench_cfg(stride, backend, prom_factor=2.5, raw_peaks=2560)
     else:
-        cfg = _bench_cfg(stride, backend, prom_factor=2.0)
+        # Stress fleet (own compile): the 40 BPM family carries up to
+        # 34,573 local maxima (sparse beats leave the int16 noise wiggles
+        # unmasked) vs ~20.7k in-family — extrema_capacity 40960 holds them
+        # with headroom; NMS survivors peak at 8,032 raw / ~8k trough, so
+        # prom_factor 2.5 x 4096 = 10,240 prominence slots per axis
+        # (measured over all 128 stress seeds; the no-overflow assertion
+        # below guards the sizing).
+        cfg = _bench_cfg(stride, backend, prom_factor=2.5,
+                         extrema_capacity=40960)
 
     # Same int16 quantization the CPU reference reads from its WAV, and the
     # same full preprocessing (band-pass filtfilt at the 302 Hz rate —
@@ -571,9 +581,18 @@ def measure_native_e2e(native_paths: list, backend: str, stride: int,
                      prom_factor=2.0, extrema_capacity=32768)
     outdir = os.path.dirname(native_paths[0])
 
-    # Warmup: compiles the (batch, bucket) program on a fleet subset.
+    # Warmup: compiles the (batch, bucket) program on a fleet subset, and
+    # warms the page cache for the WHOLE fleet (the idempotent fleet files
+    # persist across bench runs; a cold first touch of the ~3.4 GB fleet
+    # costs ~3.5 s of disk reads and measured 4.02 s vs 0.94 s warm on the
+    # decode lane in round 5 — the bench measures decode + staging +
+    # compute, not disk bandwidth, and RAM holds the fleet 35x over).
     host_batch.analyze_files_batched(native_paths[:batch], cfg, outdir,
                                      max_batch=batch, render=False)
+    for p in native_paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     lanes = {}
     t0 = time.time()
@@ -616,6 +635,24 @@ def measure_native_render(native_paths: list, backend: str, stride: int,
     # Chunks of batch//2: a single n_files-chunk would have nothing to
     # overlap, so D2H + render of chunk k ride under chunk k+1's compute on
     # the fetch thread (same pipelining the render-free e2e bench uses).
+    #
+    # Warmup: the render=True program (engine + RenderPack gather) at this
+    # chunk bucket is a DIFFERENT XLA program from the render-free e2e's —
+    # without this, its ~2 min compile lands inside the timed region on a
+    # cold compile cache (round 5 measured 124 s wall vs ~5 s of work).
+    # The warm-up chunk overlaps the timed fleet, so drop the memoized
+    # reason formatters afterwards — carrying those hits into the timed
+    # region would overstate the per-file render rate.
+    import tempfile
+
+    from bpm_analysis_tpu.reports import trace as trace_mod
+
+    with tempfile.TemporaryDirectory() as scratch:
+        host_batch.analyze_files_batched(
+            paths[: max(batch // 2, 1)], cfg, scratch,
+            max_batch=max(batch // 2, 1), render=True)
+    trace_mod.format_pairing_details_list.cache_clear()
+    trace_mod.format_lone_s1_details_list.cache_clear()
     lanes = {}
     t0 = time.time()
     results, errors = host_batch.analyze_files_batched(

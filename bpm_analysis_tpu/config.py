@@ -277,6 +277,16 @@ class RuntimeConfig:
     # recordings carry far more micro-extrema than beats (e.g. ~20.7k
     # maxima per 10-min 302 Hz synthetic vs ~11k on the golden sample).
     extrema_capacity: int = 0
+    # Slot capacity the raw-peak finder compacts its height-surviving maxima
+    # into before the distance NMS.  The NMS's per-round shifted-compare
+    # stacks scale linearly with this axis; the noise floor rejects part of
+    # the micro-maxima population (measured over the 128-seed bench fleet:
+    # <=15,455 height survivors of <=20,822 maxima — the bench sets 16384
+    # vs the 24,574-wide extrema axis they would otherwise ride).  0 keeps
+    # the full extrema width.  Populations beyond the capacity are truncated
+    # WITH the overflow flag set (host raises) — the same contract as every
+    # other capacity.
+    raw_candidate_capacity: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,6 +27,7 @@ from .io import wav
 from .models import envelope as envm
 from .models import pipeline
 from .reports import csvout, debug_log, plot, settings, summary
+from .reports import trace as trace_mod
 
 
 def _length_bucket(n: int, min_bucket: int = 1 << 15) -> int:
@@ -191,9 +192,14 @@ def render_artifacts(result, cfg: AnalyzerConfig, env_np: np.ndarray,
     csvout.write_bpm_csv(os.path.join(output_directory, f"{base}_bpm_plot.csv"),
                          times, bpm)
     summary.save(result, original_file_path, output_directory)
+    # debug_strings is read by BOTH the debug log and the plot tooltips;
+    # build it once per file (it walks every classified peak building
+    # reason strings — the heaviest shared piece of host rendering).
+    debug = trace_mod.debug_strings(result, cfg)
     debug_log.save(result, cfg, env_np, new_rate, original_file_path,
-                   output_directory)
-    plot.save(result, cfg, env_np, new_rate, original_file_path, output_directory)
+                   output_directory, debug=debug)
+    plot.save(result, cfg, env_np, new_rate, original_file_path, output_directory,
+              debug=debug)
     return result
 
 

@@ -88,7 +88,7 @@ class ClassifierTrace(NamedTuple):
 class ClassifierResult(NamedTuple):
     s1_positions: jnp.ndarray      # (max_candidates,) int32, padded with n
     s1_count: jnp.ndarray          # () int32
-    trace: ClassifierTrace
+    trace: Optional[ClassifierTrace]  # None under classify(want_trace=False)
     smoothed_deviation: jnp.ndarray  # (capacity-1 slots worth, padded)
     s1_overflowed: jnp.ndarray     # () bool: max_candidates truncated the beats
 
@@ -137,8 +137,17 @@ def classify(
     cfg: AnalyzerConfig,
     peak_bpm_time_sec=None,
     recovery_end_time_sec=None,
+    want_trace: bool = True,
 ) -> ClassifierResult:
-    """Run the full classification scan over raw-peak slots."""
+    """Run the full classification scan over raw-peak slots.
+
+    ``want_trace=False`` emits only ``peak_class`` from the scan instead of
+    the full 26-field ``ClassifierTrace`` (``ClassifierResult.trace`` is then
+    ``None``).  The preliminary pass (pipeline.py) only consumes the anchor
+    positions, and dropping the per-step trace writes lets XLA dead-code
+    eliminate every trace-only computation inside the latency-bound scan
+    body — the scan's wall time is sequential step latency, so a thinner
+    step is directly faster."""
     p = cfg.pairing
     r = cfg.rhythm
     dtype = envelope.dtype
@@ -341,7 +350,7 @@ def classify(
             do_belief & (new_count > 0), new_last.astype(dtype) / sr, nan
         )
 
-        trace = ClassifierTrace(
+        trace = peak_class if not want_trace else ClassifierTrace(
             peak_class=peak_class,
             deviation=dev,
             blend_ratio=blend,
@@ -457,10 +466,11 @@ def classify(
     trace = jax.tree_util.tree_map(
         lambda a: a.reshape(cap + pad, *a.shape[2:])[:cap], trace)
 
-    is_beat = ((trace.peak_class == types.S1_PAIRED)
-               | (trace.peak_class == types.LONE_S1_VALIDATED)
-               | (trace.peak_class == types.LONE_S1_CASCADE)
-               | (trace.peak_class == types.LONE_S1_LAST))
+    peak_class = trace.peak_class if want_trace else trace
+    is_beat = ((peak_class == types.S1_PAIRED)
+               | (peak_class == types.LONE_S1_VALIDATED)
+               | (peak_class == types.LONE_S1_CASCADE)
+               | (peak_class == types.LONE_S1_LAST))
     ccap = cfg.runtime.max_candidates
     key = jnp.where(is_beat, positions, n)
     if ccap > cap:
@@ -472,7 +482,7 @@ def classify(
     return ClassifierResult(
         s1_positions=s1_positions,
         s1_count=s1_count,
-        trace=trace,
+        trace=trace if want_trace else None,
         smoothed_deviation=smoothed_dev,
         s1_overflowed=n_beats > ccap,
     )

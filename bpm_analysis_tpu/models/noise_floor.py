@@ -284,8 +284,6 @@ def _dynamic_noise_floor_knots(
     # --- draft floor from ALL troughs (anchors only) -----------------------
     draft_anchors = rolling_q_knots(troughs.positions, t_amp, troughs.count)
     draft_anchors_filled = q.bfill_ffill(draft_anchors)
-    draft_filled = fix_tail_span(
-        q.interp_anchors(draft_anchors_filled, n, stride, envelope.dtype))
 
     # --- sanitize troughs (sparse draft evaluation — no dense gather) ------
     floor_at_trough = kq.anchors_at(draft_anchors_filled, t_pos, n, stride,
@@ -298,15 +296,22 @@ def _dynamic_noise_floor_knots(
 
     # --- final floor from sanitized troughs --------------------------------
     final_anchors = rolling_q_knots(sane_pos, sane_amp, sane_count)
-    final = fix_tail_span(
-        q.interp_anchors(q.bfill_ffill(final_anchors), n, stride,
-                         envelope.dtype))
 
     # --- fallback ladder (identical to the dense path) ---------------------
-    floor = jnp.where(sane_count > 2, final, draft_filled)
+    # The draft/final select happens on the ANCHOR axis: both floors share
+    # the same anchor grid and ``interp_anchors`` is linear in the anchor
+    # values, so selecting anchors then expanding once equals expanding both
+    # and selecting densely (the dense path's formulation) — and saves a
+    # full dense interpolation + dense select per call.  The all-NaN check
+    # is anchor-equivalent too: bfill_ffill output is all-NaN iff its input
+    # was, and interpolation of any non-NaN anchor pair is non-NaN.
+    floor_anchors = jnp.where(sane_count > 2, q.bfill_ffill(final_anchors),
+                              draft_anchors_filled)
+    floor = fix_tail_span(
+        q.interp_anchors(floor_anchors, n, stride, envelope.dtype))
     static_all_nan = q.quantile_exact(envelope, ncfg.all_nan_fallback_quantile,
                                       valid=valid)
-    floor = jnp.where(jnp.all(jnp.isnan(floor)), static_all_nan, floor)
+    floor = jnp.where(jnp.all(jnp.isnan(floor_anchors)), static_all_nan, floor)
     static_few = q.quantile_exact(envelope, ncfg.noise_floor_quantile,
                                   valid=valid)
     few_troughs = troughs.count < 5

@@ -83,8 +83,15 @@ def raw_peaks(envelope: jnp.ndarray, floor: jnp.ndarray, sample_rate: int,
         floor_at = floor[jnp.clip(extrema.max_positions, 0, n - 1)]
         in_count = jnp.arange(mh_real.shape[0]) < extrema.max_count
         keep = in_count & (mh_real >= floor_at)
+        # Candidate axis: the noise floor rejects the bulk of the
+        # micro-maxima, so the NMS (whose shifted-compare rounds scale
+        # linearly with this axis) runs over a right-sized compaction
+        # instead of the full extrema width; overflow propagates into
+        # Peaks.overflowed (host raises) like every other capacity.
+        ccap = min(cfg.runtime.raw_candidate_capacity or mh_real.shape[0],
+                   mh_real.shape[0])
         (cpos, chts), ccount, cover = fp.compact_slots(
-            keep, mh_real.shape[0],
+            keep, ccap,
             [(extrema.max_positions, n),
              (mh_real, jnp.array(-jnp.inf, mh_real.dtype))])
         tables = dict(
@@ -114,9 +121,12 @@ def preliminary_pass(envelope, floor, peaks: fp.Peaks, sample_rate: int,
                                 cfg.rhythm.default_start_bpm)
 
     cfg_hc = cfg.with_pairing_threshold(cfg.pairing.preliminary_confidence_threshold)
+    # want_trace=False: the preliminary pass only consumes the anchor
+    # positions; dropping the 26-field trace ys lets XLA dead-code eliminate
+    # the trace-only math inside the latency-bound scan body.
     res = classifier.classify(
         envelope, floor, peaks.positions, peaks.count, sample_rate,
-        hint_or_default, cfg_hc,
+        hint_or_default, cfg_hc, want_trace=False,
     )
     anchors, a_count = res.s1_positions, res.s1_count
 

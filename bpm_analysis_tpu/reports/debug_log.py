@@ -34,11 +34,14 @@ def _asof(times: np.ndarray, values: np.ndarray, t: float, tol: float = 0.0) -> 
     return float(values[i]) if i >= 0 else float("nan")
 
 
-def build_events(result, cfg, sample_rate: int):
-    """Time-sorted event list: (time, kind, amp, debug_string)."""
+def build_events(result, cfg, sample_rate: int, debug=None):
+    """Time-sorted event list: (time, kind, amp, debug_string).
+    ``debug``: optionally a precomputed ``trace.debug_strings`` dict
+    shared with the plot renderer."""
     n_troughs = int(result.trough_count)
     troughs = np.asarray(result.trough_positions)[:n_troughs]
-    debug = trace_mod.debug_strings(result, cfg)
+    if debug is None:
+        debug = trace_mod.debug_strings(result, cfg)
 
     events = []
     for pos, reason in debug.items():
@@ -50,9 +53,9 @@ def build_events(result, cfg, sample_rate: int):
 
 
 def render(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
-           now: Optional[datetime.datetime] = None) -> str:
+           now: Optional[datetime.datetime] = None, debug=None) -> str:
     now = now or datetime.datetime.now()
-    events = build_events(result, cfg, sample_rate)
+    events = build_events(result, cfg, sample_rate, debug=debug)
 
     # May be a dense ndarray (serial path) or a host.SampledEnv view holding
     # exactly the event-position values (batched render pack) — only ever
@@ -143,10 +146,10 @@ def render(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
 
 
 def save(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
-         output_directory: str) -> str:
+         output_directory: str, debug=None) -> str:
     base = os.path.basename(os.path.splitext(file_name)[0])
     path = os.path.join(output_directory, f"{base}_Debug_Log.md")
-    text = render(result, cfg, envelope, sample_rate, file_name)
+    text = render(result, cfg, envelope, sample_rate, file_name, debug=debug)
     with open(path, "w", encoding="utf-8") as f:
         if not text.strip():
             f.write("# No significant events detected to log.\n")

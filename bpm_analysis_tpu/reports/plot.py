@@ -40,18 +40,29 @@ def _plotly_modules():
         return None, None
 
 
-def peak_hover_text(result, cfg, envelope, sample_rate) -> Dict[int, str]:
+def peak_hover_text(result, cfg, envelope, sample_rate,
+                    debug: Optional[Dict[int, str]] = None) -> Dict[int, str]:
     """Per-peak HTML tooltip text (reference ``_add_peak_traces`` loop,
-    bpm_analysis.py:569-605)."""
-    debug = trace_mod.debug_strings(result, cfg)
+    bpm_analysis.py:569-605).  ``debug``: optionally a precomputed
+    ``trace.debug_strings(result, cfg)`` dict shared with the debug-log
+    renderer (both read the same strings; building it twice per file is
+    pure waste on the 1-core render thread)."""
+    if debug is None:
+        debug = trace_mod.debug_strings(result, cfg)
     out = {}
-    for pos, reason in debug.items():
+    # One vectorized gather for every tooltip's amplitude — per-peak scalar
+    # indexing costs a searchsorted each on host.SampledEnv views (~15 us x
+    # thousands of peaks on the 1-core render thread).
+    all_pos = np.fromiter(debug.keys(), dtype=np.int64, count=len(debug))
+    all_amp = np.asarray(envelope[all_pos], dtype=float) if len(debug) else \
+        np.zeros(0)
+    for (pos, reason), amp in zip(debug.items(), all_amp):
         parts = reason.split("§")
         peak_type, details = parts[0], parts[1:]
         blocks = [
             f"<b>Type:</b> {peak_type}",
             f"<b>Time:</b> {pos / sample_rate:.2f}s",
-            f"<b>Amp:</b> {envelope[pos]:.0f}",
+            f"<b>Amp:</b> {amp:.0f}",
             "---",
         ]
         i = 0
@@ -74,16 +85,18 @@ def peak_hover_text(result, cfg, envelope, sample_rate) -> Dict[int, str]:
     return out
 
 
-def _peak_groups(result, cfg, envelope, sample_rate):
-    hover = peak_hover_text(result, cfg, envelope, sample_rate)
+def _peak_groups(result, cfg, envelope, sample_rate, debug=None):
+    hover = peak_hover_text(result, cfg, envelope, sample_rate, debug=debug)
     n = int(result.raw_peak_count)
     positions = np.asarray(result.raw_peak_positions)[:n]
     classes = np.asarray(result.classes)[:n]
+    amps = np.asarray(envelope[positions.astype(np.int64)], dtype=float) \
+        if n else np.zeros(0)
     groups = {"s1": ([], []), "s2": ([], []), "noise": ([], [])}
-    for pos, cls in zip(positions, classes):
+    for pos, cls, amp in zip(positions, classes, amps):
         pos = int(pos)
         text = hover.get(pos, (f"<b>Type:</b> Unclassified<br><b>Time:</b> {pos/sample_rate:.2f}s"
-                               f"<br><b>Amp:</b> {envelope[pos]:.0f}"
+                               f"<br><b>Amp:</b> {amp:.0f}"
                                "<br><b>Details:</b> Peak was not evaluated by the classifier."))
         key = "s1" if cls in types.S1_CLASSES else "s2" if cls in types.S2_CLASSES else "noise"
         groups[key][0].append(pos)
@@ -160,21 +173,22 @@ def bpm_extrema(metrics):
 
 
 def save(result, cfg, envelope: np.ndarray, sample_rate: int, file_name: str,
-         output_directory: str):
+         output_directory: str, debug=None):
     base = os.path.basename(os.path.splitext(file_name)[0])
     path = os.path.join(output_directory, f"{base}_bpm_plot.html")
     go, make_subplots = _plotly_modules()
     if go is not None:
         fig = _plotly_figure(go, make_subplots, result, cfg, envelope,
-                             sample_rate, file_name)
+                             sample_rate, file_name, debug=debug)
         fig.write_html(path, config={"scrollZoom": True})
         return fig, path
-    _svg_fallback(result, cfg, envelope, sample_rate, file_name, path)
+    _svg_fallback(result, cfg, envelope, sample_rate, file_name, path,
+                  debug=debug)
     return None, path
 
 
 def _plotly_figure(go, make_subplots, result, cfg, envelope, sample_rate,
-                   file_name):
+                   file_name, debug=None):
     fig = make_subplots(specs=[[{"secondary_y": True}]])
     epoch = datetime.datetime.fromtimestamp(0)
 
@@ -199,7 +213,7 @@ def _plotly_figure(go, make_subplots, result, cfg, envelope, sample_rate,
                                                          size=6),
                              visible="legendonly"), secondary_y=False)
 
-    groups = _peak_groups(result, cfg, envelope, sample_rate)
+    groups = _peak_groups(result, cfg, envelope, sample_rate, debug=debug)
     style = {"s1": ("S1 Beats", dict(color="#e36f6f", size=8, symbol="diamond")),
              "s2": ("S2 Beats", dict(color="orange", symbol="circle", size=6)),
              "noise": ("Noise/Rejected", dict(color="grey", symbol="x", size=6))}
@@ -288,7 +302,8 @@ def _plotly_figure(go, make_subplots, result, cfg, envelope, sample_rate,
     return fig
 
 
-def _svg_fallback(result, cfg, envelope, sample_rate, file_name, path):
+def _svg_fallback(result, cfg, envelope, sample_rate, file_name, path,
+                  debug=None):
     """Minimal self-contained HTML+SVG rendering of the core traces."""
     W, H = 1200, 500
     n = len(envelope)
@@ -312,14 +327,16 @@ def _svg_fallback(result, cfg, envelope, sample_rate, file_name, path):
     floor = result.floor[::step]          # ndarray or SampledEnv view
     floor_pts = " ".join(f"{sx(i*step):.1f},{sy_amp(v):.1f}" for i, v in enumerate(floor))
 
-    groups = _peak_groups(result, cfg, envelope, sample_rate)
+    groups = _peak_groups(result, cfg, envelope, sample_rate, debug=debug)
     marker_svg = []
     colors = {"s1": "#e36f6f", "s2": "orange", "noise": "grey"}
     for key, (positions, texts) in groups.items():
-        for pos, text in zip(positions, texts):
+        amps = np.asarray(envelope[np.asarray(positions, dtype=np.int64)],
+                          dtype=float) if positions else np.zeros(0)
+        for pos, text, amp in zip(positions, texts, amps):
             title = html.escape(text.replace("<br>", "\n").replace("<b>", "").replace("</b>", ""))
             marker_svg.append(
-                f'<circle cx="{sx(pos):.1f}" cy="{sy_amp(envelope[pos]):.1f}" r="3" '
+                f'<circle cx="{sx(pos):.1f}" cy="{sy_amp(amp):.1f}" r="3" '
                 f'fill="{colors[key]}"><title>{title}</title></circle>'
             )
 

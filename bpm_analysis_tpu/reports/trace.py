@@ -143,7 +143,22 @@ def debug_strings(result, cfg) -> Dict[int, str]:
 
 
 # --- formatters (reference Plotter.format_* parity) ------------------------
+#
+# Both renderers (plot tooltips + debug log) format the SAME reason strings,
+# one per classified peak — memoizing turns the second renderer's pass into
+# dict hits (the formatters are pure; callers only iterate/join the result,
+# so the shared tuple is safe).  Bounded so a long batch can't grow the
+# cache unboundedly.
 
+def _memoize_formatter(fn):
+    import functools
+
+    cached = functools.lru_cache(maxsize=65536)(fn)
+    functools.update_wrapper(cached, fn)
+    return cached
+
+
+@_memoize_formatter
 def format_pairing_details_list(details_str: str) -> List[str]:
     """Re-render a pairing reason with running-confidence annotations
     (reference bpm_analysis.py:336-365)."""
@@ -181,6 +196,7 @@ def format_pairing_details_list(details_str: str) -> List[str]:
     return output
 
 
+@_memoize_formatter
 def format_lone_s1_details_list(details_str: str) -> List[str]:
     """Re-render a lone-S1 reason as the weighted-calculation breakdown
     (reference bpm_analysis.py:368-427)."""

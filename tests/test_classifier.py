@@ -93,6 +93,43 @@ def None_to_default():
     return 80.0
 
 
+def test_want_trace_false_identical_beats():
+    """classify(want_trace=False) is a pure DCE knob: the anchor/beat set
+    must be bit-identical to the traced run, with ``trace`` None (the
+    preliminary pass runs this mode, pipeline.py)."""
+    import dataclasses
+
+    rng = np.random.RandomState(11)
+    sr = 302
+    n = sr * 30
+    env = np.abs(rng.randn(n)).astype(np.float64) * 5
+    period = int(60.0 / 110.0 * sr)
+    beats = np.arange(2, n // period) * period
+    env[beats] += 400.0
+    s2 = beats + int(0.3 * period)
+    env[s2[s2 < n]] += 150.0
+    peaks = np.sort(np.concatenate([beats, s2[s2 < n]])).astype(np.int32)
+    floor = np.full(n, 20.0)
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG,
+        runtime=dataclasses.replace(DEFAULT_CONFIG.runtime,
+                                    max_raw_peaks=256, max_troughs=128,
+                                    max_candidates=128))
+    cap = cfg.runtime.max_raw_peaks
+    pos = np.full(cap, n, dtype=np.int32)
+    pos[: len(peaks)] = peaks
+    args = (jnp.asarray(env), jnp.asarray(floor), jnp.asarray(pos),
+            jnp.asarray(len(peaks)), sr, 110.0, cfg)
+    ref = classifier.classify(*args)
+    lean = classifier.classify(*args, want_trace=False)
+    assert lean.trace is None
+    np.testing.assert_array_equal(np.asarray(lean.s1_positions),
+                                  np.asarray(ref.s1_positions))
+    assert int(lean.s1_count) == int(ref.s1_count)
+    assert bool(lean.s1_overflowed) == bool(ref.s1_overflowed)
+
+
 @pytest.mark.slow
 def test_unroll_width_invariance():
     """classifier_unroll is a pure scheduling knob: any width must produce

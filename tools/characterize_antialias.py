@@ -19,12 +19,15 @@ answers the questions that decide which should be the default:
    (amplitude 300 vs beats 1000/S2 450).  Stride decimation at factor 146
    folds 1 kHz to |1000 - 3*302.05| = 93.8 Hz — inside the 20-150 Hz pass
    band — while the FIR rejects it by design (tests/test_decimate.py);
-4. cost — end-to-end batched rate of each path (the antialias path ships
-   full 44.1 kHz samples to the device; on the tunneled bench link that is
-   H2D-bound at ~20 MB/s, on a real v5e host PCIe it would not be).
+4. cost — end-to-end batched rate of each path.  Round 4 shipped the
+   antialias path's full 44.1 kHz PCM through the tunneled H2D link
+   (~5 audio-min/s vs 156 compat); round 5 runs the same windowed-sinc FIR
+   inside the native decoder's streaming loop (wav_decoder.cpp:
+   decode_one_fir), so both paths stage ~180k samples/file and the gap is
+   just the in-decode convolution.
 
 Usage: python tools/characterize_antialias.py [N_FILES]
-Writes ANTIALIAS_r04.json at the repo root and prints one JSON line per
+Writes ANTIALIAS_r05.json at the repo root and prints one JSON line per
 (fleet, path) row plus a comparison block.
 """
 import dataclasses
@@ -182,8 +185,10 @@ def main():
 
     base = _bench_cfg(64, "auto", candidates=3072, work_factor=8,
                       prom_factor=2.0, extrema_capacity=32768)
-    # The antialias path band-passes at the native rate on device; chunk at
-    # 4 so the full-rate f32 intermediates fit the single v5e chip's HBM.
+    # The antialias path FIR-decimates inside the native decoder (round 5),
+    # so it stages the same ~180k samples/file as compat and runs the same
+    # 16-file chunks (round 4 chunked at 4: full-rate f32 intermediates on
+    # device no longer exist).
     aa_cfg = dataclasses.replace(
         base, compat=dataclasses.replace(base.compat,
                                          antialias_decimation=True))
@@ -200,19 +205,18 @@ def main():
 
     rows = [
         run_fleet(clean, base, "clean", "compat", truths, oracle=oracle),
-        run_fleet(clean, aa_cfg, "clean", "antialias", truths, batch=4),
+        run_fleet(clean, aa_cfg, "clean", "antialias", truths, batch=16),
         run_fleet(oob, oob_base, "oob_1khz", "compat", truths, batch=16),
-        run_fleet(oob, oob_aa, "oob_1khz", "antialias", truths, batch=4),
+        run_fleet(oob, oob_aa, "oob_1khz", "antialias", truths, batch=16),
     ]
     out = {"rows": rows, "n_files": N_FILES,
            "oob_tone": {"hz": OOB_TONE_HZ, "amp": OOB_TONE_AMP},
-           "note": ("antialias rate is H2D-bound on the tunneled bench "
-                    "link (ships full 44.1 kHz int16); a direct-attached "
-                    "host would not be.  n_failed counts files whose "
+           "note": ("both paths stage ~180k FIR/stride-decimated samples "
+                    "per file (host-side decimation, round 5).  n_failed counts files whose "
                     "analysis returned ok=False (<2 final beats) — on the "
                     "oob fleet the folded tone swamps the compat path's "
                     "noise floor and NO beats survive")}
-    with open(os.path.join(REPO, "ANTIALIAS_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "ANTIALIAS_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"comparison": {
         "clean_recall50": [rows[0]["truth_mean_recall50"],

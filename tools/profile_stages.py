@@ -27,8 +27,9 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 BACKEND = sys.argv[2] if len(sys.argv) > 2 else "xla"
 
 cfg = AnalyzerConfig(runtime=RuntimeConfig(
-    max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
+    max_raw_peaks=2560, max_troughs=4096, max_candidates=2048, dtype="float32",
     noise_quantile_stride=64, quantile_backend=BACKEND,
+    prominence_work_factor=2.5,
     extrema_capacity=24576))
 
 
