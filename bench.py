@@ -437,19 +437,28 @@ def _accuracy_rows(per_seed_oracle: dict, tpu_curves: dict) -> dict:
 def _bench_cfg(stride: int, backend: str, candidates: int = 2048,
                work_factor: int = 4, prom_factor: float = 1.5,
                extrema_capacity: int = 24576, raw_peaks: int = 4096,
-               troughs: int = 4096):
+               troughs: int = 4096, residual: int = 1024,
+               raw_candidates: int = 0):
     from bpm_analysis_tpu.config import AnalyzerConfig, RuntimeConfig
 
     # extrema_capacity 24576: the synthetic 10-min 302 Hz recordings carry
     # ~20.7k local maxima (mostly int16-quantization micro-wiggles) — every
     # one must fit the shared extrema decomposition for exact prominences
     # (the no-overflow assertions below check this).
+    #
+    # residual / raw_candidates: the prominence residual-descent cost scales
+    # ~linearly with prominence_residual_capacity (~63 ms per 512 slots per
+    # find_peaks call at B=128 — measured round 5), and the raw-peak NMS
+    # axis scales with raw_candidate_capacity; both are sized per fleet from
+    # measured worst-case populations, guarded by the no-overflow assertion.
     return AnalyzerConfig(runtime=RuntimeConfig(
         max_raw_peaks=raw_peaks, max_troughs=troughs,
         max_candidates=candidates,
         dtype="float32", noise_quantile_stride=stride, quantile_backend=backend,
         find_peaks_work_factor=work_factor,
         prominence_work_factor=prom_factor,
+        prominence_residual_capacity=residual,
+        raw_candidate_capacity=raw_candidates,
         extrema_capacity=extrema_capacity))
 
 
@@ -504,7 +513,12 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
     # not this one).  The stress fleet's sustained-165-BPM family carries
     # ~3.3k raw peaks and runs the full 4096-slot config (its own compile).
     if synth is synth_recording:
-        cfg = _bench_cfg(stride, backend, prom_factor=2.5, raw_peaks=2560)
+        # residual 512 / raw_candidates 16384: fleet worst cases measured at
+        # 343 residual descents per direction and 15,455 height-surviving
+        # maxima (of <=20,822) — both axes sized with ~50% / 6% headroom and
+        # guarded by the no-overflow assertion below.
+        cfg = _bench_cfg(stride, backend, prom_factor=2.5, raw_peaks=2560,
+                         residual=512, raw_candidates=16384)
     else:
         # Stress fleet (own compile): the 40 BPM family carries up to
         # 34,573 local maxima (sparse beats leave the int16 noise wiggles
@@ -513,8 +527,10 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
         # prom_factor 2.5 x 4096 = 10,240 prominence slots per axis
         # (measured over all 128 stress seeds; the no-overflow assertion
         # below guards the sizing).
+        # residual 768: stress worst case measured at 580 descents per
+        # direction (40 BPM family; the assertion below guards the bound).
         cfg = _bench_cfg(stride, backend, prom_factor=2.5,
-                         extrema_capacity=40960)
+                         extrema_capacity=40960, residual=768)
 
     # Same int16 quantization the CPU reference reads from its WAV, and the
     # same full preprocessing (band-pass filtfilt at the 302 Hz rate —
