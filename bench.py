@@ -517,8 +517,12 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
         # 343 residual descents per direction and 15,455 height-surviving
         # maxima (of <=20,822) — both axes sized with ~50% / 6% headroom and
         # guarded by the no-overflow assertion below.
+        # candidates 1536: the classifier's S1 output axis (drives the
+        # corrections sort/scatters and every analytics slot axis) — fleet
+        # worst case 1,255 accepted beats, 22% headroom, s1_overflowed
+        # asserts.
         cfg = _bench_cfg(stride, backend, prom_factor=2.5, raw_peaks=2560,
-                         residual=512, raw_candidates=16384)
+                         residual=512, raw_candidates=16384, candidates=1536)
     else:
         # Stress fleet (own compile): the 40 BPM family carries up to
         # 34,573 local maxima (sparse beats leave the int16 noise wiggles

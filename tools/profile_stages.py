@@ -26,11 +26,20 @@ from bpm_analysis_tpu.models import classifier, corrections, noise_floor, pipeli
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 BACKEND = sys.argv[2] if len(sys.argv) > 2 else "xla"
 
-cfg = AnalyzerConfig(runtime=RuntimeConfig(
-    max_raw_peaks=2560, max_troughs=4096, max_candidates=2048, dtype="float32",
-    noise_quantile_stride=64, quantile_backend=BACKEND,
-    prominence_work_factor=2.5,
-    extrema_capacity=24576))
+if len(sys.argv) > 3 and sys.argv[3] == "bench":
+    # The exact in-family engine-bench config (bench.measure_tpu) so stage
+    # times sum to the headline wall.
+    from bench import _bench_cfg
+
+    cfg = _bench_cfg(64, BACKEND, prom_factor=2.5, raw_peaks=2560,
+                     residual=512, raw_candidates=16384)
+else:
+    cfg = AnalyzerConfig(runtime=RuntimeConfig(
+        max_raw_peaks=2560, max_troughs=4096, max_candidates=2048,
+        dtype="float32",
+        noise_quantile_stride=64, quantile_backend=BACKEND,
+        prominence_work_factor=2.5,
+        extrema_capacity=24576))
 
 
 def _force(out):
