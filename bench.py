@@ -521,8 +521,21 @@ def measure_tpu(batch_size: int = BATCH, backend: str = "xla",
         # corrections sort/scatters and every analytics slot axis) — fleet
         # worst case 1,255 accepted beats, 22% headroom, s1_overflowed
         # asserts.
-        cfg = _bench_cfg(stride, backend, prom_factor=2.5, raw_peaks=2560,
-                         residual=512, raw_candidates=16384, candidates=1536)
+        # Round-5 fleet population probe (per-recording maxima over all 128
+        # seeds): 20,822 maxima / 20,823 minima / union 41,645; trough NMS
+        # survivors 6,161; raw NMS survivors 5,819; final troughs 2,265;
+        # final raw peaks 2,304.  The fleet is deterministic (fixed seeds),
+        # so axes are sized to the measured worst case + a margin and the
+        # no-overflow assertion keeps them honest:
+        #   extrema 22016  -> union top_k k = 44,028 >= 41,645 (5.7%)
+        #   troughs 2560   -> final 2,265 (13%); trough prominence slots
+        #                     2.5 x 2560 = 6,400 >= 6,161 survivors (3.9%)
+        #                     AND the knot-kernel anchor-table axis
+        #   raw_peaks 2432 -> final 2,304 (5.5%); the classifier /
+        #                     preliminary scan length
+        cfg = _bench_cfg(stride, backend, prom_factor=2.5, raw_peaks=2432,
+                         residual=512, raw_candidates=16384, candidates=1536,
+                         troughs=2560, extrema_capacity=22016)
     else:
         # Stress fleet (own compile): the 40 BPM family carries up to
         # 34,573 local maxima (sparse beats leave the int16 noise wiggles

@@ -27,10 +27,17 @@ from bpm_analysis_tpu import types  # noqa: E402
 from bpm_analysis_tpu.ops import series  # noqa: E402
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-cfg = AnalyzerConfig(runtime=RuntimeConfig(
-    max_raw_peaks=4096, max_troughs=4096, max_candidates=2048, dtype="float32",
-    noise_quantile_stride=64, quantile_backend="pallas",
-    extrema_capacity=24576))
+if len(sys.argv) > 2 and sys.argv[2] == "bench":
+    from bench import _bench_cfg
+
+    cfg = _bench_cfg(64, "xla", prom_factor=2.5, raw_peaks=2560,
+                     residual=512, raw_candidates=16384, candidates=1536)
+else:
+    cfg = AnalyzerConfig(runtime=RuntimeConfig(
+        max_raw_peaks=4096, max_troughs=4096, max_candidates=2048,
+        dtype="float32",
+        noise_quantile_stride=64, quantile_backend="pallas",
+        extrema_capacity=24576))
 
 
 def _force(out):
